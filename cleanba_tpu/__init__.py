@@ -1,0 +1,21 @@
+"""cleanba_tpu — a TPU-native Sebulba-style actor-learner RL framework.
+
+A from-scratch rebuild of the capabilities of vwxyzjn/cleanba (reference layout
+documented in SURVEY.md), designed for JAX/XLA on TPU:
+
+- Actors: jitted policy inference over batched C++ envs, on dedicated actor chips.
+- Learners: PPO (GAE) and IMPALA (V-trace) updates under a single `jax.jit` over an
+  explicit `jax.sharding.Mesh`, gradients reduced by XLA collectives over ICI
+  (replacing the reference's per-process `jax.pmap` + NCCL, cleanba_ppo.py:656-660).
+- Data plane: time-major [T, B, ...] trajectory batches sharded along the env axis.
+
+Subpackages:
+  envs      batched environment engine (C++ core + Python fallback, EnvPool-like API)
+  models    flax policy/value networks (IMPALA-CNN, NatureCNN, MLP)
+  ops       pure algorithm kernels (GAE, V-trace, losses, optimizers, sampling)
+  parallel  mesh/topology, sharding layouts, multi-host bring-up
+  runtime   Sebulba runtime: rollout threads, queue protocol, learner driver
+  utils     config/CLI, metrics, checkpointing, timers, profiling
+"""
+
+__version__ = "0.1.0"

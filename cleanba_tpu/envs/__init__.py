@@ -1,0 +1,90 @@
+"""Environment factory with Atari eval-protocol presets.
+
+`make_env` mirrors the reference's factory (cleanba/cleanba_ppo.py:121-146):
+the default **Machado** protocol (sticky actions p=0.25, no episodic life,
+noop_max=1, full 18-action space, 27000-step cap, reward clipping) and the
+**Espeholt/IMPALA** variant (episodic life, no sticky actions, noop_max=30,
+minimal action set; reference legacy_scripts/
+cleanba_ppo_envpool_impala_atari_wrapper.py:120-141).
+
+Backends: 'native' (C++ engine, csrc/), 'python' (NumPy CartPole fallback),
+'auto' (native when buildable, python for CartPole otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from cleanba_tpu.config import ATARI_MAX_FRAMES
+from cleanba_tpu.envs.api import BatchedEnv, EnvSpec
+from cleanba_tpu.envs.python_engine import PyCartPoleEnv
+
+__all__ = ["make_env", "BatchedEnv", "EnvSpec", "PROTOCOLS"]
+
+PROTOCOLS = {
+    # Machado et al. 2017 eval protocol (reference cleanba_ppo.py:126-139).
+    "machado": dict(
+        repeat_action_probability=0.25,
+        episodic_life=False,
+        noop_max=1,
+        full_action_space=True,
+        reward_clip=True,
+        max_episode_steps=ATARI_MAX_FRAMES,
+    ),
+    # Espeholt et al. 2018 / original IMPALA protocol (reference
+    # legacy_scripts/cleanba_ppo_envpool_impala_atari_wrapper.py:120-141).
+    "espeholt": dict(
+        repeat_action_probability=0.0,
+        episodic_life=True,
+        noop_max=30,
+        full_action_space=False,
+        reward_clip=True,
+        max_episode_steps=ATARI_MAX_FRAMES,
+    ),
+}
+
+_STATE_TASKS = {"CartPole-v1"}
+
+
+def make_env(
+    env_id: str,
+    seed: int,
+    num_envs: int,
+    async_batch_size: int = 0,
+    num_threads: int = 0,
+    protocol: str = "machado",
+    backend: str = "auto",
+) -> Callable[[], BatchedEnv]:
+    """Returns a thunk building the batched env (reference factory shape,
+    cleanba_ppo.py:126-146: `envs = make_env(...)()`)."""
+
+    def thunk() -> BatchedEnv:
+        if env_id in _STATE_TASKS:
+            if backend in ("python",):
+                return PyCartPoleEnv(
+                    num_envs=num_envs, batch_size=async_batch_size, seed=seed,
+                    max_episode_steps=500,
+                )
+            from cleanba_tpu.envs.native import native_available, NativeBatchedEnv
+
+            if backend == "auto" and not native_available():
+                return PyCartPoleEnv(
+                    num_envs=num_envs, batch_size=async_batch_size, seed=seed,
+                    max_episode_steps=500,
+                )
+            return NativeBatchedEnv(
+                env_id, num_envs=num_envs, batch_size=async_batch_size,
+                num_threads=num_threads, seed=seed, max_episode_steps=500,
+                repeat_action_probability=0.0, reward_clip=False,
+            )
+        if backend == "python":
+            raise ValueError(f"{env_id!r} requires the native engine (backend='python' given)")
+        from cleanba_tpu.envs.native import NativeBatchedEnv
+
+        opts = PROTOCOLS[protocol]
+        return NativeBatchedEnv(
+            env_id, num_envs=num_envs, batch_size=async_batch_size,
+            num_threads=num_threads, seed=seed, **opts,
+        )
+
+    return thunk

@@ -1,0 +1,80 @@
+"""Post-training evaluation harness (reference
+cleanrl_utils/evals/ppo_envpool_jax_eval.py:13-82).
+
+Rebuilds the model from the saved final-model file, runs `eval_episodes`
+episodes on a single env with on-device Gumbel sampling, and optionally writes
+an mp4 via OpenCV (moviepy is not available in this environment; cv2's
+VideoWriter replaces it).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from cleanba_tpu.envs import make_env
+from cleanba_tpu.runtime.agent import build_agent
+from cleanba_tpu.utils.checkpoint import load_model
+
+__all__ = ["evaluate"]
+
+
+def evaluate(
+    model_path: str,
+    env_id: str,
+    eval_episodes: int,
+    run_name: str,
+    cfg,
+    capture_video: bool = False,
+    seed: int = 1,
+    video_dir: str = "videos",
+) -> List[float]:
+    envs = make_env(
+        env_id, seed=seed, num_envs=1,
+        protocol=getattr(cfg, "env_protocol", "machado"),
+        backend=getattr(cfg, "env_backend", "auto"),
+    )()
+    sample_obs = np.zeros((1, *envs.spec.obs_shape), envs.spec.obs_dtype)
+    agent = build_agent(cfg, envs.spec.num_actions, sample_obs, jax.random.PRNGKey(seed))
+    params = load_model(model_path, agent.init_params)
+
+    key = jax.random.PRNGKey(seed)
+    episodic_returns: List[float] = []
+    frames: List[np.ndarray] = []
+    next_obs, _ = envs.reset()
+    episode_return = 0.0
+
+    while len(episodic_returns) < eval_episodes:
+        _, action, _, key = agent.impala_inference(params, next_obs, key)
+        next_obs, reward, terminated, truncated, info = envs.step(np.asarray(action))
+        episode_return += float(info["reward"][0])
+        if capture_video and len(episodic_returns) == 0 and next_obs.ndim == 4:
+            frames.append(next_obs[0, :, :, -1])
+        if terminated[0] or truncated[0]:
+            episodic_returns.append(episode_return)
+            print(f"eval_episode={len(episodic_returns)}, episodic_return={episode_return}")
+            episode_return = 0.0
+
+    if capture_video and frames:
+        _write_video(frames, os.path.join(video_dir, run_name, "eval.mp4"))
+    envs.close()
+    return episodic_returns
+
+
+def _write_video(frames: List[np.ndarray], path: str, fps: int = 30, scale: int = 4) -> Optional[str]:
+    try:
+        import cv2
+    except ImportError:
+        return None
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    h, w = frames[0].shape
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w * scale, h * scale), isColor=False
+    )
+    for f in frames:
+        writer.write(cv2.resize(f, (w * scale, h * scale), interpolation=cv2.INTER_NEAREST))
+    writer.release()
+    return path

@@ -1,0 +1,127 @@
+"""Optimizer transforms and trainer optimizer factories.
+
+- `scale_by_rms_pytorch_style`: RMSProp with epsilon added *outside* the sqrt,
+  `g / (sqrt(nu) + eps)`, matching `torch.optim.RMSprop` — the discrepancy with
+  stock optax (`g / sqrt(nu + eps)`) is what the reference works around
+  (cleanba_impala.py:141-189, optax issue #532). Implemented here against the
+  public optax API only, and verified against torch.optim.RMSprop in
+  tests/test_optim.py.
+- `make_ppo_optimizer` / `make_impala_optimizer`: the exact reference chains —
+  global-norm clip -> (Adam | pytorch-RMSProp) with inject_hyperparams for LR
+  logging, wrapped in MultiSteps for gradient accumulation
+  (cleanba_ppo.py:475-501, cleanba_impala.py:533-541).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "scale_by_rms_pytorch_style",
+    "rmsprop_pytorch_style",
+    "make_ppo_optimizer",
+    "make_impala_optimizer",
+    "linear_schedule",
+]
+
+ScalarOrSchedule = Union[float, optax.Schedule]
+
+
+class RmsPytorchState(NamedTuple):
+    nu: optax.Updates  # second-moment EMA
+
+
+def scale_by_rms_pytorch_style(
+    decay: float = 0.99, eps: float = 1e-8, initial_scale: float = 0.0
+) -> optax.GradientTransformation:
+    """update = g / (sqrt(EMA[g^2]) + eps), PyTorch epsilon placement."""
+
+    def init_fn(params):
+        nu = jax.tree_util.tree_map(lambda p: jnp.full_like(p, initial_scale), params)
+        return RmsPytorchState(nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        nu = jax.tree_util.tree_map(
+            lambda g, n: decay * n + (1.0 - decay) * jnp.square(g), updates, state.nu
+        )
+        updates = jax.tree_util.tree_map(
+            lambda g, n: g / (jnp.sqrt(n) + eps), updates, nu
+        )
+        return updates, RmsPytorchState(nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def rmsprop_pytorch_style(
+    learning_rate: ScalarOrSchedule,
+    decay: float = 0.99,
+    eps: float = 1e-8,
+    initial_scale: float = 0.0,
+    momentum: Optional[float] = None,
+    nesterov: bool = False,
+) -> optax.GradientTransformation:
+    parts = [
+        scale_by_rms_pytorch_style(decay=decay, eps=eps, initial_scale=initial_scale),
+        optax.scale_by_learning_rate(learning_rate),
+    ]
+    if momentum is not None:
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    return optax.chain(*parts)
+
+
+def linear_schedule(
+    learning_rate: float, num_updates: int, updates_per_call: int
+) -> optax.Schedule:
+    """Linear LR anneal counted in optimizer steps (cleanba_ppo.py:476-480).
+
+    `updates_per_call` = gradient steps per learner iteration
+    (num_minibatches * update_epochs for PPO; num_minibatches for IMPALA), so
+    the fraction advances once per training iteration like the reference.
+    """
+
+    def schedule(count):
+        frac = 1.0 - (count // updates_per_call) / num_updates
+        return learning_rate * frac
+
+    return schedule
+
+
+def _lr(cfg, updates_per_call: int):
+    if cfg.anneal_lr:
+        return linear_schedule(cfg.learning_rate, cfg.num_updates, updates_per_call)
+    return cfg.learning_rate
+
+
+def make_ppo_optimizer(cfg) -> optax.GradientTransformation:
+    """clip(0.5) -> Adam(eps=1e-5), MultiSteps accumulation (cfg: PPOConfig)."""
+    updates_per_call = cfg.num_minibatches * cfg.update_epochs
+    return optax.MultiSteps(
+        optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.inject_hyperparams(optax.adam)(
+                learning_rate=_lr(cfg, updates_per_call), eps=1e-5
+            ),
+        ),
+        every_k_schedule=cfg.gradient_accumulation_steps,
+    )
+
+
+def make_impala_optimizer(cfg) -> optax.GradientTransformation:
+    """clip(40) -> PyTorch-style RMSProp(decay .99, eps .01) (cfg: ImpalaConfig)."""
+    updates_per_call = cfg.num_minibatches
+    return optax.MultiSteps(
+        optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.inject_hyperparams(rmsprop_pytorch_style)(
+                learning_rate=_lr(cfg, updates_per_call),
+                decay=cfg.rmsprop_decay,
+                eps=cfg.rmsprop_eps,
+            ),
+        ),
+        every_k_schedule=cfg.gradient_accumulation_steps,
+    )

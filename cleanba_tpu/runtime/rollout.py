@@ -1,0 +1,335 @@
+"""Actor rollout threads (the reference's `rollout()` thread functions,
+cleanba_ppo.py:226-406 and cleanba_impala.py:268-446).
+
+One thread per (actor device, thread id); each owns a private batched env
+engine seeded `seed + process_index + device_thread_id` and talks to the
+learner through a maxsize-1 params queue and a maxsize-1 rollout queue.
+
+The concurrency handshake is preserved exactly: under `--concurrency`, the
+params fetch is skipped at update==2 so actors run one policy version behind
+the learner and env stepping overlaps the learner update; the fetched params
+are `block_until_ready`'d so this thread's pending jit dispatch cannot
+serialize the other actor threads (reference cleanba_ppo.py:287-305).
+
+TPU-native deltas:
+- Trajectories leave through `ship_to_learners` — `jax.device_put` onto the
+  learner mesh's [T, env-sharded] NamedSharding (D2D over ICI) instead of the
+  host-bounced `device_put_sharded` (cleanba_ppo.py:357-363).
+- IMPALA async recv batches are re-sorted by env_id before storage, so the
+  time-major columns always line up per-env for V-trace (the reference relies
+  on EnvPool returning full batches in stable order).
+"""
+
+from __future__ import annotations
+
+import queue
+import time
+from collections import deque
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cleanba_tpu.parallel import DeviceTopology, ship_to_learners
+from cleanba_tpu.runtime.storage import ImpalaStorage, PPOStorage
+
+__all__ = ["ppo_rollout_thread", "impala_rollout_thread", "EpisodeStats"]
+
+
+class EpisodeStats:
+    """env_id-indexed episode return/length accumulators
+    (reference cleanba_ppo.py:263-271, 343-352). Uses the raw (unclipped)
+    reward from info for returns, like the reference."""
+
+    def __init__(self, num_envs: int):
+        self.episode_returns = np.zeros(num_envs, np.float32)
+        self.returned_episode_returns = np.zeros(num_envs, np.float32)
+        self.episode_lengths = np.zeros(num_envs, np.float32)
+        self.returned_episode_lengths = np.zeros(num_envs, np.float32)
+
+    def update(self, env_ids, raw_rewards, terminated, truncated):
+        done = np.asarray(terminated, np.float32) + np.asarray(truncated, np.float32)
+        self.episode_returns[env_ids] += raw_rewards
+        self.returned_episode_returns[env_ids] = np.where(
+            done, self.episode_returns[env_ids], self.returned_episode_returns[env_ids]
+        )
+        self.episode_returns[env_ids] *= 1.0 - done
+        self.episode_lengths[env_ids] += 1
+        self.returned_episode_lengths[env_ids] = np.where(
+            done, self.episode_lengths[env_ids], self.returned_episode_lengths[env_ids]
+        )
+        self.episode_lengths[env_ids] *= 1.0 - done
+
+    @property
+    def avg_return(self) -> float:
+        return float(self.returned_episode_returns.mean())
+
+    @property
+    def avg_length(self) -> float:
+        return float(self.returned_episode_lengths.mean())
+
+
+def _get_params(params_queue: queue.Queue, cfg, update: int, timers) -> tuple:
+    """Maxsize-1 params handshake with the one-version-behind pipelining trick
+    (reference cleanba_ppo.py:287-305). Returns (params, fetched)."""
+    t0 = time.time()
+    params = None
+    if cfg.concurrency:
+        if update != 2:
+            params = params_queue.get()
+            # Block so our pending device program doesn't serialize the other
+            # actor threads' jit dispatch (see reference NOTE + excalidraw).
+            jax.block_until_ready(jax.tree.leaves(params)[0])
+    else:
+        params = params_queue.get()
+    timers.append(time.time() - t0)
+    return params
+
+
+def _write_rollout_scalars(writer, cfg, stats, global_step, update, start_time,
+                           update_time_start, seg, params_queue_get_time,
+                           rollout_time, rollout_queue_put_time, thread_id):
+    if update % cfg.log_frequency != 0:
+        return
+    sps = int(global_step / max(time.time() - start_time, 1e-9))
+    if thread_id == 0:
+        print(
+            f"global_step={global_step}, avg_episodic_return={stats.avg_return:.2f}, "
+            f"rollout_time={np.mean(rollout_time):.4f}, SPS={sps}"
+        )
+    writer.add_scalar("stats/rollout_time", float(np.mean(rollout_time)), global_step)
+    writer.add_scalar("charts/avg_episodic_return", stats.avg_return, global_step)
+    writer.add_scalar("charts/avg_episodic_length", stats.avg_length, global_step)
+    writer.add_scalar("stats/params_queue_get_time", float(np.mean(params_queue_get_time)), global_step)
+    for name, value in seg.items():
+        writer.add_scalar(f"stats/{name}", value, global_step)
+    writer.add_scalar("stats/rollout_queue_put_time", float(np.mean(rollout_queue_put_time)), global_step)
+    writer.add_scalar("charts/SPS", sps, global_step)
+    writer.add_scalar(
+        "charts/SPS_update",
+        int(
+            cfg.local_num_envs * cfg.num_steps * len(cfg.actor_device_ids)
+            * cfg.num_actor_threads * cfg.world_size
+            / max(time.time() - update_time_start, 1e-9)
+        ),
+        global_step,
+    )
+
+
+def ppo_rollout_thread(
+    key: jax.Array,
+    cfg,
+    make_envs: Callable,
+    inference_fn: Callable,   # jitted (params, obs, key) -> (obs_dev, a, logp, v, key)
+    rollout_queue: queue.Queue,
+    params_queue: queue.Queue,
+    writer,
+    topo: DeviceTopology,
+    actor_device: jax.Device,
+    device_thread_id: int,
+) -> None:
+    envs = make_envs()
+    n_envs = cfg.local_num_envs
+    stats = EpisodeStats(n_envs)
+    global_step = 0
+    start_time = time.time()
+    actor_policy_version = 0
+
+    params_queue_get_time: deque = deque(maxlen=10)
+    rollout_time: deque = deque(maxlen=10)
+    rollout_queue_put_time: deque = deque(maxlen=10)
+
+    next_obs, _ = envs.reset()
+    next_done = np.zeros(n_envs, np.float32)
+    params = None
+
+    with jax.default_device(actor_device):
+        key = jax.device_put(key, actor_device)
+        for update in range(1, cfg.num_updates + 2):
+            update_time_start = time.time()
+            seg = {"env_recv_time": 0.0, "inference_time": 0.0, "d2h_time": 0.0,
+                   "env_send_time": 0.0, "storage_time": 0.0, "data_transfer_time": 0.0}
+
+            fetched = _get_params(params_queue, cfg, update, params_queue_get_time)
+            if fetched is not None:
+                params = fetched
+                actor_policy_version += 1
+
+            rollout_t0 = time.time()
+            obs_list: List = []
+            host_rows: List[tuple] = []
+            for _ in range(cfg.num_steps):
+                cached_obs, cached_done = next_obs, next_done
+                t0 = time.time()
+                obs_dev, action, logprob, value, key = inference_fn(params, cached_obs, key)
+                seg["inference_time"] += time.time() - t0
+
+                t0 = time.time()
+                cpu_action = np.asarray(action)
+                seg["d2h_time"] += time.time() - t0
+
+                t0 = time.time()
+                next_obs, next_reward, terminated, truncated, info = envs.step(cpu_action)
+                seg["env_send_time"] += time.time() - t0
+                next_done = (np.asarray(terminated) | np.asarray(truncated)).astype(np.float32)
+                global_step += (
+                    n_envs * cfg.num_actor_threads * len(cfg.actor_device_ids) * cfg.world_size
+                )
+
+                t0 = time.time()
+                obs_list.append(obs_dev)
+                host_rows.append((
+                    cached_done,
+                    np.asarray(action), np.asarray(logprob), np.asarray(value),
+                    info["env_ids"].copy(), next_reward.astype(np.float32),
+                    np.asarray(truncated, np.float32), np.asarray(terminated, np.float32),
+                    (info["elapsed_step"] == 0).astype(np.float32),
+                ))
+                stats.update(info["env_ids"], info["reward"], terminated, truncated)
+                seg["storage_time"] += time.time() - t0
+            rollout_time.append(time.time() - rollout_t0)
+
+            t0 = time.time()
+            storage = PPOStorage(
+                obs=jnp.stack(obs_list),
+                dones=np.stack([r[0] for r in host_rows]),
+                actions=np.stack([r[1] for r in host_rows]),
+                logprobs=np.stack([r[2] for r in host_rows]),
+                values=np.stack([r[3] for r in host_rows]),
+                env_ids=np.stack([r[4] for r in host_rows]),
+                rewards=np.stack([r[5] for r in host_rows]),
+                truncations=np.stack([r[6] for r in host_rows]),
+                terminations=np.stack([r[7] for r in host_rows]),
+                firststeps=np.stack([r[8] for r in host_rows]),
+            )
+            sharded_storage = ship_to_learners(storage, topo, env_axis=1)
+            sharded_boot = ship_to_learners(
+                (jnp.asarray(next_obs), jnp.asarray(next_done)), topo, env_axis=0
+            )
+            seg["data_transfer_time"] += time.time() - t0
+
+            payload = (global_step, actor_policy_version, update, sharded_storage,
+                       *sharded_boot, float(np.mean(params_queue_get_time)), device_thread_id)
+            t0 = time.time()
+            rollout_queue.put(payload)
+            rollout_queue_put_time.append(time.time() - t0)
+
+            _write_rollout_scalars(
+                writer, cfg, stats, global_step, update, start_time, update_time_start,
+                seg, params_queue_get_time, rollout_time, rollout_queue_put_time,
+                device_thread_id,
+            )
+
+
+def impala_rollout_thread(
+    key: jax.Array,
+    cfg,
+    make_envs: Callable,
+    inference_fn: Callable,   # jitted (params, obs, key) -> (obs_dev, a, logits, key)
+    rollout_queue: queue.Queue,
+    params_queue: queue.Queue,
+    writer,
+    topo: DeviceTopology,
+    actor_device: jax.Device,
+    device_thread_id: int,
+) -> None:
+    envs = make_envs()
+    n_envs = cfg.local_num_envs
+    stats = EpisodeStats(n_envs)
+    global_step = 0
+    start_time = time.time()
+    actor_policy_version = 0
+
+    params_queue_get_time: deque = deque(maxlen=10)
+    rollout_time: deque = deque(maxlen=10)
+    rollout_queue_put_time: deque = deque(maxlen=10)
+
+    envs.async_reset()
+    storage: List[tuple] = []  # rows of (obs_dev[list], host fields...)
+    params = None
+
+    with jax.default_device(actor_device):
+        key = jax.device_put(key, actor_device)
+        for update in range(1, cfg.num_updates + 2):
+            update_time_start = time.time()
+            seg = {"env_recv_time": 0.0, "inference_time": 0.0, "d2h_time": 0.0,
+                   "env_send_time": 0.0, "storage_time": 0.0, "data_transfer_time": 0.0}
+            # T + 1 rows total; +1 more on the very first update since there is
+            # no carried bootstrap row yet (reference cleanba_impala.py:327-329).
+            num_steps_with_bootstrap = cfg.num_steps + 1 + int(len(storage) == 0)
+
+            fetched = _get_params(params_queue, cfg, update, params_queue_get_time)
+            if fetched is not None:
+                params = fetched
+                actor_policy_version += 1
+
+            rollout_t0 = time.time()
+            while len(storage) < num_steps_with_bootstrap:
+                t0 = time.time()
+                obs_b, rew_b, term_b, trunc_b, info = envs.recv()
+                seg["env_recv_time"] += time.time() - t0
+                env_ids = info["env_ids"]
+                global_step += (
+                    len(env_ids) * cfg.num_actor_threads * len(cfg.actor_device_ids) * cfg.world_size
+                )
+
+                t0 = time.time()
+                obs_dev, action, logits, key = inference_fn(params, obs_b, key)
+                seg["inference_time"] += time.time() - t0
+
+                t0 = time.time()
+                cpu_action = np.asarray(action)
+                seg["d2h_time"] += time.time() - t0
+
+                t0 = time.time()
+                envs.send(cpu_action, env_ids)
+                seg["env_send_time"] += time.time() - t0
+
+                t0 = time.time()
+                # Sort rows by env_id so time-major columns stay per-env aligned
+                # for V-trace (full-pool batches arrive in completion order).
+                order = np.argsort(env_ids)
+                done_b = (np.asarray(term_b) | np.asarray(trunc_b)).astype(np.float32)
+                storage.append((
+                    obs_dev, jnp.asarray(order), action, logits,
+                    done_b[order], env_ids[order].copy(), rew_b[order].astype(np.float32),
+                    np.asarray(trunc_b, np.float32)[order], np.asarray(term_b, np.float32)[order],
+                    (info["elapsed_step"] == 0).astype(np.float32)[order],
+                ))
+                stats.update(env_ids, info["reward"], term_b, trunc_b)
+                seg["storage_time"] += time.time() - t0
+            rollout_time.append(time.time() - rollout_t0)
+
+            t0 = time.time()
+            sharded_storage = ship_to_learners(
+                ImpalaStorage(
+                    obs=jnp.stack([jnp.take(r[0], r[1], axis=0) for r in storage]),
+                    dones=np.stack([r[4] for r in storage]),
+                    actions=jnp.stack([jnp.take(r[2], r[1], axis=0) for r in storage]),
+                    logitss=jnp.stack([jnp.take(r[3], r[1], axis=0) for r in storage]),
+                    env_ids=np.stack([r[5] for r in storage]),
+                    rewards=np.stack([r[6] for r in storage]),
+                    truncations=np.stack([r[7] for r in storage]),
+                    terminations=np.stack([r[8] for r in storage]),
+                    firststeps=np.stack([r[9] for r in storage]),
+                ),
+                topo,
+            )
+            seg["data_transfer_time"] += time.time() - t0
+
+            payload = (global_step, actor_policy_version, update, sharded_storage,
+                       float(np.mean(params_queue_get_time)), device_thread_id)
+            t0 = time.time()
+            rollout_queue.put(payload)
+            rollout_queue_put_time.append(time.time() - t0)
+
+            # Carry the bootstrap row into the next iteration
+            # (reference cleanba_impala.py:415-416).
+            storage = storage[-1:]
+
+            _write_rollout_scalars(
+                writer, cfg, stats, global_step, update, start_time, update_time_start,
+                seg, params_queue_get_time, rollout_time, rollout_queue_put_time,
+                device_thread_id,
+            )

@@ -1,0 +1,289 @@
+"""Training driver: assembles topology, envs, agent, rollout threads, and the
+learner loop (the reference's `__main__` blocks, cleanba_ppo.py:409-799 and
+cleanba_impala.py:449-760, as one reusable function).
+
+Structure per SURVEY.md §3.1/3.3:
+  resolve config -> distributed init -> topology/mesh -> writer -> seeding ->
+  probe env spaces -> agent + optimizer -> place state on learner mesh ->
+  spawn rollout threads (maxsize-1 queue pairs) -> learner loop
+  (gather payloads -> jitted shard_map update -> param broadcast -> logging /
+  checkpointing) -> final model save + eval.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import random
+import threading
+import time
+from collections import deque
+from typing import List
+
+import jax
+import numpy as np
+from cleanba_tpu.runtime.train_state import TrainState
+from rich.pretty import pprint
+
+from cleanba_tpu.config import ImpalaConfig, PPOConfig
+from cleanba_tpu.envs import make_env
+from cleanba_tpu.ops import make_impala_optimizer, make_ppo_optimizer
+from cleanba_tpu.parallel import build_topology, maybe_init_distributed, pull_params_to_device
+from cleanba_tpu.runtime.agent import build_agent
+from cleanba_tpu.runtime.learner import (
+    current_learning_rate,
+    make_impala_update,
+    make_ppo_update,
+)
+from cleanba_tpu.runtime.rollout import impala_rollout_thread, ppo_rollout_thread
+from cleanba_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+    save_model,
+)
+from cleanba_tpu.utils.metrics import make_writer
+from cleanba_tpu.utils.profiling import TraceWindow
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["train"]
+
+
+def train(cfg) -> None:
+    algo = "ppo" if isinstance(cfg, PPOConfig) else "impala"
+    maybe_init_distributed(cfg)
+    topo = build_topology(cfg.actor_device_ids, cfg.learner_device_ids)
+    cfg.resolve(world_size=topo.world_size, local_rank=topo.local_rank)
+    cfg.actor_devices = [str(d) for d in topo.actor_devices]
+    cfg.learner_devices = [str(d) for d in topo.learner_devices]
+    cfg.global_learner_devices = [str(d) for d in topo.global_learner_devices]
+    pprint(cfg)
+
+    writer = make_writer(cfg, is_primary=cfg.local_rank == 0)
+
+    # Seeding (reference cleanba_ppo.py:465-470).
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, agent_key = jax.random.split(key)
+
+    # Probe env for spaces (reference uses a throwaway main-thread env, :473).
+    probe = make_env(
+        cfg.env_id, seed=cfg.seed, num_envs=1,
+        protocol=cfg.env_protocol, backend=cfg.env_backend,
+    )()
+    sample_obs = np.zeros((1, *probe.spec.obs_shape), probe.spec.obs_dtype)
+    action_dim = probe.spec.num_actions
+    probe.close()
+
+    agent = build_agent(cfg, action_dim, sample_obs, agent_key)
+    tx = make_ppo_optimizer(cfg) if algo == "ppo" else make_impala_optimizer(cfg)
+    agent_state = TrainState.create(apply_fn=None, params=agent.init_params, tx=tx)
+    # Replicate across the learner mesh (replaces flax.jax_utils.replicate,
+    # reference cleanba_ppo.py:502).
+    agent_state = jax.device_put(agent_state, topo.replicated())
+
+    start_update = 0
+    initial_global_step = 0
+    if cfg.resume:
+        ckpt = latest_checkpoint(cfg.run_path)
+        if ckpt is not None:
+            agent_state, start_update, initial_global_step = restore_checkpoint(ckpt, agent_state)
+            agent_state = jax.device_put(agent_state, topo.replicated())
+            logger.info("resumed from %s (update=%d)", ckpt, start_update)
+
+    if algo == "ppo":
+        update_fn = make_ppo_update(cfg, topo, agent.logits_and_value)
+        inference_fn = agent.ppo_inference
+        rollout_target = ppo_rollout_thread
+    else:
+        update_fn = make_impala_update(cfg, topo, agent.logits_and_value)
+        inference_fn = agent.impala_inference
+        rollout_target = impala_rollout_thread
+
+    learner_keys = jax.device_put(key, topo.replicated())
+
+    # --- spawn rollout threads (reference cleanba_ppo.py:662-686) ---
+    remaining_updates = cfg.num_updates - start_update
+    params_queues: List[queue.Queue] = []
+    rollout_queues: List[queue.Queue] = []
+    threads: List[threading.Thread] = []
+    initial_params = agent_state.params
+    for d_idx, actor_device in enumerate(topo.actor_devices):
+        device_params = pull_params_to_device(initial_params, actor_device)
+        for thread_id in range(cfg.num_actor_threads):
+            device_thread_id = d_idx * cfg.num_actor_threads + thread_id
+            params_queues.append(queue.Queue(maxsize=1))
+            rollout_queues.append(queue.Queue(maxsize=1))
+            params_queues[-1].put(device_params)
+            thread_cfg_steps = dict(
+                num_updates=remaining_updates, initial_global_step=initial_global_step
+            )
+            t = threading.Thread(
+                target=_rollout_wrapper(rollout_target),
+                name=f"rollout-{device_thread_id}",
+                args=(
+                    jax.device_put(key, actor_device),
+                    cfg,
+                    make_env(
+                        cfg.env_id,
+                        seed=cfg.seed + topo.local_rank + device_thread_id,
+                        num_envs=cfg.local_num_envs,
+                        async_batch_size=cfg.async_batch_size,
+                        protocol=cfg.env_protocol,
+                        backend=cfg.env_backend,
+                    ),
+                    inference_fn,
+                    rollout_queues[-1],
+                    params_queues[-1],
+                    writer if d_idx == 0 and thread_id == 0 else _dummy_writer(),
+                    topo,
+                    actor_device,
+                    device_thread_id,
+                    thread_cfg_steps,
+                ),
+                daemon=True,
+            )
+            t.start()
+            threads.append(t)
+
+    # --- learner loop (reference cleanba_ppo.py:688-751) ---
+    tracer = TraceWindow(cfg.trace_dir)
+    rollout_queue_get_time: deque = deque(maxlen=10)
+    learner_policy_version = start_update
+    global_step = initial_global_step
+    while True:
+        learner_policy_version += 1
+        tracer.step(learner_policy_version - start_update)
+        t0 = time.time()
+        sharded_storages, sharded_next_obs, sharded_next_done = [], [], []
+        avg_params_queue_get_time = 0.0
+        for q in rollout_queues:
+            payload = q.get()
+            if algo == "ppo":
+                (global_step, actor_policy_version, update, storage,
+                 next_obs_s, next_done_s, avg_params_queue_get_time, _tid) = payload
+                sharded_next_obs.append(next_obs_s)
+                sharded_next_done.append(next_done_s)
+            else:
+                (global_step, actor_policy_version, update, storage,
+                 avg_params_queue_get_time, _tid) = payload
+            global_step += initial_global_step  # resume offset
+            sharded_storages.append(storage)
+        rollout_queue_get_time.append(time.time() - t0)
+
+        training_time_start = time.time()
+        if algo == "ppo":
+            agent_state, metrics, learner_keys = update_fn(
+                agent_state, sharded_storages, sharded_next_obs, sharded_next_done, learner_keys
+            )
+        else:
+            agent_state, metrics, learner_keys = update_fn(
+                agent_state, sharded_storages, learner_keys
+            )
+
+        # Param broadcast learner -> actors (reference cleanba_ppo.py:721-725).
+        for d_idx, actor_device in enumerate(topo.actor_devices):
+            device_params = pull_params_to_device(agent_state.params, actor_device)
+            for thread_id in range(cfg.num_actor_threads):
+                params_queues[d_idx * cfg.num_actor_threads + thread_id].put(device_params)
+
+        if learner_policy_version % cfg.log_frequency == 0:
+            writer.add_scalar("stats/rollout_queue_get_time", float(np.mean(rollout_queue_get_time)), global_step)
+            writer.add_scalar(
+                "stats/rollout_params_queue_get_time_diff",
+                float(np.mean(rollout_queue_get_time)) - avg_params_queue_get_time,
+                global_step,
+            )
+            writer.add_scalar("stats/training_time", time.time() - training_time_start, global_step)
+            writer.add_scalar("stats/rollout_queue_size", rollout_queues[-1].qsize(), global_step)
+            writer.add_scalar("stats/params_queue_size", params_queues[-1].qsize(), global_step)
+            print(
+                global_step,
+                f"actor_policy_version={actor_policy_version}, actor_update={update}, "
+                f"learner_policy_version={learner_policy_version}, "
+                f"training time: {time.time() - training_time_start:.4f}s",
+            )
+            writer.add_scalar("charts/learning_rate", current_learning_rate(agent_state), global_step)
+            m = jax.tree.map(lambda x: float(np.asarray(x)), metrics)
+            writer.add_scalar("losses/loss", m.loss, global_step)
+            writer.add_scalar("losses/policy_loss", m.pg_loss, global_step)
+            writer.add_scalar("losses/value_loss", m.v_loss, global_step)
+            writer.add_scalar("losses/entropy", m.entropy_loss, global_step)
+            if hasattr(m, "approx_kl"):
+                writer.add_scalar("losses/approx_kl", m.approx_kl, global_step)
+
+        if (
+            cfg.checkpoint_frequency
+            and cfg.local_rank == 0
+            and learner_policy_version % cfg.checkpoint_frequency == 0
+        ):
+            host_state = jax.device_get(agent_state)
+            save_checkpoint(cfg.run_path, host_state, learner_policy_version, global_step)
+
+        if learner_policy_version >= cfg.num_updates:
+            break
+    tracer.close()
+
+    # Drain rollout threads' final payloads so they can exit, then join.
+    for q in rollout_queues:
+        try:
+            q.get(timeout=30)
+        except queue.Empty:
+            pass
+    for t in threads:
+        t.join(timeout=60)
+
+    if cfg.save_model and cfg.local_rank == 0:
+        params = jax.device_get(agent_state.params)
+        model_path = os.path.join(cfg.run_path, f"{cfg.exp_name}.cleanba_model")
+        os.makedirs(cfg.run_path, exist_ok=True)
+        save_model(model_path, cfg.asdict(), params)
+        print(f"model saved to {model_path}")
+        from cleanba_tpu.evaluate import evaluate
+
+        episodic_returns = evaluate(
+            model_path, cfg.env_id, eval_episodes=10,
+            run_name=f"{cfg.run_name}-eval", cfg=cfg,
+            capture_video=cfg.capture_video,
+        )
+        for idx, ret in enumerate(episodic_returns):
+            writer.add_scalar("eval/episodic_return", ret, idx)
+
+        if cfg.upload_model:
+            from cleanba_tpu.zoo import push_to_hub
+
+            repo_name = f"{cfg.env_id}-{cfg.exp_name}-seed{cfg.seed}"
+            repo_id = f"{cfg.hf_entity}/{repo_name}" if cfg.hf_entity else repo_name
+            push_to_hub(cfg, episodic_returns, repo_id, algo.upper(), cfg.run_path)
+
+    writer.flush()
+    writer.close()
+
+
+def _dummy_writer():
+    from cleanba_tpu.utils.metrics import DummyWriter
+
+    return DummyWriter()
+
+
+def _rollout_wrapper(target):
+    """Adapts the rollout thread signature: applies per-run step overrides
+    (resume support) and logs uncaught exceptions instead of dying silently."""
+
+    def run(key, cfg, make_envs, inference_fn, rollout_queue, params_queue,
+            writer, topo, actor_device, device_thread_id, overrides):
+        import copy
+
+        local_cfg = copy.copy(cfg)
+        local_cfg.num_updates = overrides["num_updates"]
+        try:
+            target(key, local_cfg, make_envs, inference_fn, rollout_queue,
+                   params_queue, writer, topo, actor_device, device_thread_id)
+        except Exception:
+            logger.exception("rollout thread %d crashed", device_thread_id)
+            raise
+
+    return run

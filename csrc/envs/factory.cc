@@ -1,0 +1,48 @@
+// Task registry: maps EnvPool-style task ids to engine environments.
+
+#include <string>
+
+#include "atari_like.h"
+#include "env.h"
+
+namespace cleanba {
+
+std::unique_ptr<Env> make_cartpole_env(const EnvOptions& opts);
+std::unique_ptr<Game> make_breakout_game();
+std::unique_ptr<Game> make_pong_game();
+
+namespace {
+
+std::unique_ptr<Game> make_game(const std::string& task) {
+  if (task == "Breakout-v5") return make_breakout_game();
+  if (task == "Pong-v5") return make_pong_game();
+  return nullptr;
+}
+
+}  // namespace
+
+std::unique_ptr<Env> make_env(const std::string& task, const EnvOptions& opts) {
+  if (task == "CartPole-v1") return make_cartpole_env(opts);
+  if (auto game = make_game(task)) return std::make_unique<AtariLikeEnv>(std::move(game), opts);
+  return nullptr;
+}
+
+bool task_info(const std::string& task, const EnvOptions& opts, TaskInfo* out) {
+  if (task == "CartPole-v1") {
+    out->obs_shape = {4};
+    out->obs_dtype = 1;  // float32
+    out->num_actions = 2;
+    out->obs_size_bytes = 4 * sizeof(float);
+    return true;
+  }
+  if (auto game = make_game(task)) {
+    out->obs_shape = {kScreen, kScreen, opts.frame_stack};
+    out->obs_dtype = 0;  // uint8
+    out->num_actions = opts.full_action_space ? 18 : game->minimal_actions();
+    out->obs_size_bytes = static_cast<int64_t>(kScreenPx) * opts.frame_stack;
+    return true;
+  }
+  return false;
+}
+
+}  // namespace cleanba
