@@ -54,9 +54,15 @@ def run_bench(num_updates: int = 12, warmup_updates: int = 3) -> dict:
 
         def wrapped(*a, **k):
             out = fn(*a, **k)
-            jax.block_until_ready(out[1])
-            progress["updates"].append(len(progress["updates"]) + 1)
-            progress["t"].append(time.time())
+            # Force true completion: fetch a metric scalar (block_until_ready
+            # alone does not guarantee remote execution finished on this stack).
+            float(out[1].loss)
+            n = len(progress["updates"]) + 1
+            now = time.time()
+            if progress["t"]:
+                print(f"[bench] update {n}: {now - progress['t'][-1]:.2f}s", file=sys.stderr, flush=True)
+            progress["updates"].append(n)
+            progress["t"].append(now)
             return out
 
         return wrapped

@@ -81,6 +81,8 @@ class CommonConfig:
     "whether to initialize multi-host JAX (jax.distributed)"
     concurrency: bool = False
     "whether to run the actor and learner concurrently (actors one policy version behind)"
+    asap: bool = False
+    "fully-async mode: actors self-serve latest params (no handshake), learner consumes payloads one at a time"
 
     # --- model ---
     network: str = "impala_cnn"
@@ -91,6 +93,8 @@ class CommonConfig:
     "the hiddens size of the MLP"
     use_prev_action_reward: bool = False
     "condition the trunk on one-hot(prev action) and prev reward (R2D2-style inputs)"
+    bf16: bool = False
+    "run the conv trunk in bfloat16 on the MXU (params and heads stay float32)"
 
     # --- optimization (shared) ---
     anneal_lr: bool = True

@@ -70,19 +70,14 @@ class EpisodeStats:
         return float(self.returned_episode_lengths.mean())
 
 
-def _get_params(params_queue: queue.Queue, cfg, update: int, timers) -> tuple:
-    """Maxsize-1 params handshake with the one-version-behind pipelining trick
-    (reference cleanba_ppo.py:287-305). Returns (params, fetched)."""
+def _get_params(param_source, cfg, update: int, timers):
+    """Fetch params via the configured delivery protocol (handshake or ASAP
+    store — see runtime/param_source.py). Returns fresh params or None."""
     t0 = time.time()
-    params = None
-    if cfg.concurrency:
-        if update != 2:
-            params = params_queue.get()
-            # Block so our pending device program doesn't serialize the other
-            # actor threads' jit dispatch (see reference NOTE + excalidraw).
-            jax.block_until_ready(jax.tree.leaves(params)[0])
+    if not cfg.concurrency and hasattr(param_source, "params_queue"):
+        params = param_source.params_queue.get()
     else:
-        params = params_queue.get()
+        params = param_source.get(update)
     timers.append(time.time() - t0)
     return params
 
@@ -123,11 +118,12 @@ def ppo_rollout_thread(
     make_envs: Callable,
     inference_fn: Callable,   # jitted (params, obs, key) -> (obs_dev, a, logp, v, key)
     rollout_queue: queue.Queue,
-    params_queue: queue.Queue,
+    param_source,
     writer,
     topo: DeviceTopology,
     actor_device: jax.Device,
     device_thread_id: int,
+    stop_event=None,
 ) -> None:
     envs = make_envs()
     n_envs = cfg.local_num_envs
@@ -147,11 +143,16 @@ def ppo_rollout_thread(
     with jax.default_device(actor_device):
         key = jax.device_put(key, actor_device)
         for update in range(1, cfg.num_updates + 2):
+            if stop_event is not None and stop_event.is_set():
+                break
             update_time_start = time.time()
             seg = {"env_recv_time": 0.0, "inference_time": 0.0, "d2h_time": 0.0,
                    "env_send_time": 0.0, "storage_time": 0.0, "data_transfer_time": 0.0}
 
-            fetched = _get_params(params_queue, cfg, update, params_queue_get_time)
+            if cfg.test_actor_learner_throughput and update > 1:
+                fetched = None  # decoupled: keep rolling on the first params
+            else:
+                fetched = _get_params(param_source, cfg, update, params_queue_get_time)
             if fetched is not None:
                 params = fetched
                 actor_policy_version += 1
@@ -178,10 +179,11 @@ def ppo_rollout_thread(
                 )
 
                 t0 = time.time()
-                obs_list.append(obs_dev)
+                # Device-resident fields stay on the actor chip (no D2H);
+                # only small host-side env outputs ride in numpy.
+                obs_list.append((obs_dev, action, logprob, value))
                 host_rows.append((
                     cached_done,
-                    np.asarray(action), np.asarray(logprob), np.asarray(value),
                     info["env_ids"].copy(), next_reward.astype(np.float32),
                     np.asarray(truncated, np.float32), np.asarray(terminated, np.float32),
                     (info["elapsed_step"] == 0).astype(np.float32),
@@ -192,16 +194,16 @@ def ppo_rollout_thread(
 
             t0 = time.time()
             storage = PPOStorage(
-                obs=jnp.stack(obs_list),
+                obs=jnp.stack([r[0] for r in obs_list]),
                 dones=np.stack([r[0] for r in host_rows]),
-                actions=np.stack([r[1] for r in host_rows]),
-                logprobs=np.stack([r[2] for r in host_rows]),
-                values=np.stack([r[3] for r in host_rows]),
-                env_ids=np.stack([r[4] for r in host_rows]),
-                rewards=np.stack([r[5] for r in host_rows]),
-                truncations=np.stack([r[6] for r in host_rows]),
-                terminations=np.stack([r[7] for r in host_rows]),
-                firststeps=np.stack([r[8] for r in host_rows]),
+                actions=jnp.stack([r[1] for r in obs_list]),
+                logprobs=jnp.stack([r[2] for r in obs_list]),
+                values=jnp.stack([r[3] for r in obs_list]),
+                env_ids=np.stack([r[1] for r in host_rows]),
+                rewards=np.stack([r[2] for r in host_rows]),
+                truncations=np.stack([r[3] for r in host_rows]),
+                terminations=np.stack([r[4] for r in host_rows]),
+                firststeps=np.stack([r[5] for r in host_rows]),
             )
             sharded_storage = ship_to_learners(storage, topo, env_axis=1)
             sharded_boot = ship_to_learners(
@@ -212,7 +214,8 @@ def ppo_rollout_thread(
             payload = (global_step, actor_policy_version, update, sharded_storage,
                        *sharded_boot, float(np.mean(params_queue_get_time)), device_thread_id)
             t0 = time.time()
-            rollout_queue.put(payload)
+            if not (cfg.test_actor_learner_throughput and update > 1):
+                rollout_queue.put(payload)
             rollout_queue_put_time.append(time.time() - t0)
 
             _write_rollout_scalars(
@@ -228,11 +231,12 @@ def impala_rollout_thread(
     make_envs: Callable,
     inference_fn: Callable,   # jitted (params, obs, key) -> (obs_dev, a, logits, key)
     rollout_queue: queue.Queue,
-    params_queue: queue.Queue,
+    param_source,
     writer,
     topo: DeviceTopology,
     actor_device: jax.Device,
     device_thread_id: int,
+    stop_event=None,
 ) -> None:
     envs = make_envs()
     n_envs = cfg.local_num_envs
@@ -252,6 +256,8 @@ def impala_rollout_thread(
     with jax.default_device(actor_device):
         key = jax.device_put(key, actor_device)
         for update in range(1, cfg.num_updates + 2):
+            if stop_event is not None and stop_event.is_set():
+                break
             update_time_start = time.time()
             seg = {"env_recv_time": 0.0, "inference_time": 0.0, "d2h_time": 0.0,
                    "env_send_time": 0.0, "storage_time": 0.0, "data_transfer_time": 0.0}
@@ -259,7 +265,10 @@ def impala_rollout_thread(
             # no carried bootstrap row yet (reference cleanba_impala.py:327-329).
             num_steps_with_bootstrap = cfg.num_steps + 1 + int(len(storage) == 0)
 
-            fetched = _get_params(params_queue, cfg, update, params_queue_get_time)
+            if cfg.test_actor_learner_throughput and update > 1:
+                fetched = None  # decoupled: keep rolling on the first params
+            else:
+                fetched = _get_params(param_source, cfg, update, params_queue_get_time)
             if fetched is not None:
                 params = fetched
                 actor_policy_version += 1
@@ -321,7 +330,8 @@ def impala_rollout_thread(
             payload = (global_step, actor_policy_version, update, sharded_storage,
                        float(np.mean(params_queue_get_time)), device_thread_id)
             t0 = time.time()
-            rollout_queue.put(payload)
+            if not (cfg.test_actor_learner_throughput and update > 1):
+                rollout_queue.put(payload)
             rollout_queue_put_time.append(time.time() - t0)
 
             # Carry the bootstrap row into the next iteration

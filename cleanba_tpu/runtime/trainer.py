@@ -22,6 +22,7 @@ from collections import deque
 from typing import List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from cleanba_tpu.runtime.train_state import TrainState
 from rich.pretty import pprint
@@ -36,6 +37,7 @@ from cleanba_tpu.runtime.learner import (
     make_impala_update,
     make_ppo_update,
 )
+from cleanba_tpu.runtime.param_source import ParamStore, QueueParamSource, StoreParamSource
 from cleanba_tpu.runtime.rollout import impala_rollout_thread, ppo_rollout_thread
 from cleanba_tpu.utils.checkpoint import (
     latest_checkpoint,
@@ -78,7 +80,12 @@ def train(cfg) -> None:
     action_dim = probe.spec.num_actions
     probe.close()
 
-    agent = build_agent(cfg, action_dim, sample_obs, agent_key)
+    import jax.numpy as _jnp
+
+    agent = build_agent(
+        cfg, action_dim, sample_obs, agent_key,
+        compute_dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
+    )
     tx = make_ppo_optimizer(cfg) if algo == "ppo" else make_impala_optimizer(cfg)
     agent_state = TrainState.create(apply_fn=None, params=agent.init_params, tx=tx)
     # Replicate across the learner mesh (replaces flax.jax_utils.replicate,
@@ -107,17 +114,31 @@ def train(cfg) -> None:
 
     # --- spawn rollout threads (reference cleanba_ppo.py:662-686) ---
     remaining_updates = cfg.num_updates - start_update
+    n_threads_total = len(topo.actor_devices) * cfg.num_actor_threads
+    stop_event = threading.Event()
     params_queues: List[queue.Queue] = []
     rollout_queues: List[queue.Queue] = []
     threads: List[threading.Thread] = []
     initial_params = agent_state.params
+    store = ParamStore() if cfg.asap else None
+    shared_rollout_queue = queue.Queue(maxsize=n_threads_total) if cfg.asap else None
+    if cfg.asap:
+        store.publish(
+            {d: pull_params_to_device(initial_params, d) for d in topo.actor_devices},
+            version=0,
+        )
     for d_idx, actor_device in enumerate(topo.actor_devices):
-        device_params = pull_params_to_device(initial_params, actor_device)
+        device_params = None if cfg.asap else pull_params_to_device(initial_params, actor_device)
         for thread_id in range(cfg.num_actor_threads):
             device_thread_id = d_idx * cfg.num_actor_threads + thread_id
-            params_queues.append(queue.Queue(maxsize=1))
-            rollout_queues.append(queue.Queue(maxsize=1))
-            params_queues[-1].put(device_params)
+            if cfg.asap:
+                param_source = StoreParamSource(store, actor_device)
+                rollout_queues.append(shared_rollout_queue)
+            else:
+                params_queues.append(queue.Queue(maxsize=1))
+                params_queues[-1].put(device_params)
+                param_source = QueueParamSource(params_queues[-1], cfg.concurrency)
+                rollout_queues.append(queue.Queue(maxsize=1))
             thread_cfg_steps = dict(
                 num_updates=remaining_updates, initial_global_step=initial_global_step
             )
@@ -137,19 +158,32 @@ def train(cfg) -> None:
                     ),
                     inference_fn,
                     rollout_queues[-1],
-                    params_queues[-1],
+                    param_source,
                     writer if d_idx == 0 and thread_id == 0 else _dummy_writer(),
                     topo,
                     actor_device,
                     device_thread_id,
                     thread_cfg_steps,
+                    stop_event,
                 ),
                 daemon=True,
             )
             t.start()
             threads.append(t)
 
+    if cfg.asap:
+        _asap_loop(cfg, algo, topo, agent_state, update_fn, shared_rollout_queue,
+                   store, learner_keys, writer, stop_event, initial_global_step)
+        for t in threads:
+            t.join(timeout=30)
+        writer.flush()
+        writer.close()
+        return
+
     # --- learner loop (reference cleanba_ppo.py:688-751) ---
+    if cfg.test_actor_learner_throughput:
+        _throughput_test(cfg, algo, topo, agent_state, update_fn, rollout_queues, learner_keys, writer)
+        return
     tracer = TraceWindow(cfg.trace_dir)
     rollout_queue_get_time: deque = deque(maxlen=10)
     learner_policy_version = start_update
@@ -273,17 +307,99 @@ def _rollout_wrapper(target):
     """Adapts the rollout thread signature: applies per-run step overrides
     (resume support) and logs uncaught exceptions instead of dying silently."""
 
-    def run(key, cfg, make_envs, inference_fn, rollout_queue, params_queue,
-            writer, topo, actor_device, device_thread_id, overrides):
+    def run(key, cfg, make_envs, inference_fn, rollout_queue, param_source,
+            writer, topo, actor_device, device_thread_id, overrides, stop_event=None):
         import copy
 
         local_cfg = copy.copy(cfg)
         local_cfg.num_updates = overrides["num_updates"]
         try:
             target(key, local_cfg, make_envs, inference_fn, rollout_queue,
-                   params_queue, writer, topo, actor_device, device_thread_id)
+                   param_source, writer, topo, actor_device, device_thread_id,
+                   stop_event=stop_event)
         except Exception:
             logger.exception("rollout thread %d crashed", device_thread_id)
             raise
 
     return run
+
+
+def _asap_loop(cfg, algo, topo, agent_state, update_fn, shared_queue, store,
+               learner_keys, writer, stop_event, initial_global_step):
+    """Fully-async learner: consume one actor payload at a time, publish the
+    newest params to the shared store after every update (reference
+    legacy_scripts/..._actor_threads_asap.py:600-647)."""
+    steps_per_payload = cfg.local_num_envs * cfg.num_steps * cfg.world_size
+    consumed = initial_global_step
+    version = 0
+    while consumed < cfg.total_timesteps:
+        payload = shared_queue.get()
+        if algo == "ppo":
+            (_gs, _apv, _upd, storage, next_obs_s, next_done_s, _t, _tid) = payload
+            agent_state, metrics, learner_keys = update_fn(
+                agent_state, [storage], [next_obs_s], [next_done_s], learner_keys
+            )
+        else:
+            (_gs, _apv, _upd, storage, _t, _tid) = payload
+            agent_state, metrics, learner_keys = update_fn(agent_state, [storage], learner_keys)
+        version += 1
+        consumed += steps_per_payload
+        store.publish(
+            {d: pull_params_to_device(agent_state.params, d) for d in topo.actor_devices},
+            version=version,
+        )
+        if version % cfg.log_frequency == 0:
+            m = jax.tree.map(lambda x: float(np.asarray(x)), metrics)
+            writer.add_scalar("losses/loss", m.loss, consumed)
+            writer.add_scalar("charts/learner_policy_version", version, consumed)
+            print(f"[asap] consumed={consumed}, learner_version={version}, loss={m.loss:.4f}")
+    store.finished.set()
+    stop_event.set()
+    # Unblock any thread stuck in a full-queue put.
+    for _ in range(shared_queue.maxsize * 2):
+        try:
+            shared_queue.get_nowait()
+        except queue.Empty:
+            break
+
+
+def _throughput_test(cfg, algo, topo, agent_state, update_fn, rollout_queues, learner_keys, writer):
+    """--test-actor-learner-throughput: sever the actor->learner link after the
+    first payload and measure each side's ceiling in isolation (reference
+    legacy_scripts/cleanba_ppo_envpool_impala_atari_wrapper.py:101-104,443,795).
+    Actors keep rolling without putting payloads (their SPS is logged by thread
+    0); the learner re-trains on the first payload in a tight loop."""
+    sharded_storages, sharded_next_obs, sharded_next_done = [], [], []
+    for q in rollout_queues:
+        payload = q.get()
+        if algo == "ppo":
+            (_gs, _apv, _upd, storage, next_obs_s, next_done_s, _t, _tid) = payload
+            sharded_next_obs.append(next_obs_s)
+            sharded_next_done.append(next_done_s)
+        else:
+            (_gs, _apv, _upd, storage, _t, _tid) = payload
+        sharded_storages.append(storage)
+
+    steps_per_update = (
+        cfg.local_num_envs * cfg.num_steps * cfg.num_actor_threads
+        * len(cfg.actor_device_ids) * cfg.world_size
+    )
+    t_start = time.time()
+    for version in range(1, cfg.num_updates + 1):
+        # Re-materialize inputs each iteration (the update donates them).
+        storages = jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, sharded_storages)
+        if algo == "ppo":
+            nobs = jax.tree.map(jnp.copy, sharded_next_obs)
+            ndone = jax.tree.map(jnp.copy, sharded_next_done)
+            agent_state, metrics, learner_keys = update_fn(
+                agent_state, storages, nobs, ndone, learner_keys
+            )
+        else:
+            agent_state, metrics, learner_keys = update_fn(agent_state, storages, learner_keys)
+        jax.block_until_ready(metrics)
+        if version % cfg.log_frequency == 0:
+            sps_update = steps_per_update * version / (time.time() - t_start)
+            print(f"[throughput-test] learner-only SPS_update={sps_update:,.0f}")
+            writer.add_scalar("charts/SPS_update", sps_update, version * steps_per_update)
+    total = steps_per_update * cfg.num_updates / (time.time() - t_start)
+    print(f"[throughput-test] learner ceiling: {total:,.0f} env-steps/s")
