@@ -46,10 +46,15 @@ def evaluate(
     frames: List[np.ndarray] = []
     next_obs, _ = envs.reset()
     episode_return = 0.0
+    prev_a = np.zeros(1, np.int32)
+    prev_r = np.zeros(1, np.float32)
 
     while len(episodic_returns) < eval_episodes:
-        _, action, _, key = agent.impala_inference(params, next_obs, key)
+        _, action, _, key = agent.impala_inference(params, next_obs, prev_a, prev_r, key)
         next_obs, reward, terminated, truncated, info = envs.step(np.asarray(action))
+        first = (info["elapsed_step"] == 0).astype(np.float32)
+        prev_a = (np.asarray(action) * (1.0 - first)).astype(np.int32)
+        prev_r = (np.asarray(reward) * (1.0 - first)).astype(np.float32)
         episode_return += float(info["reward"][0])
         if capture_video and len(episodic_returns) == 0 and next_obs.ndim == 4:
             frames.append(next_obs[0, :, :, -1])

@@ -6,6 +6,11 @@ Inference parity with the reference:
 - IMPALA actors skip the critic and return raw behaviour logits
   (cleanba_impala.py:287-301).
 Sampling is Gumbel-max with a carried PRNG key.
+
+All apply fns take (params, obs, prev_action, prev_reward); the prev inputs
+are consumed only when `cfg.use_prev_action_reward` selects the R2D2-style
+input conditioning (reference legacy_scripts/..._last_action_reward.py:168-183)
+and are ignored by the plain trunks otherwise.
 """
 
 from __future__ import annotations
@@ -17,7 +22,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cleanba_tpu.models import Actor, AgentParams, Critic, init_agent_params, make_trunk
+from cleanba_tpu.models import (
+    Actor,
+    AgentParams,
+    Critic,
+    PrevActionRewardWrapper,
+    make_trunk,
+)
 from cleanba_tpu.ops import sample_gumbel
 
 __all__ = ["AgentBundle", "build_agent"]
@@ -29,36 +40,64 @@ class AgentBundle:
     actor: Actor
     critic: Critic
     init_params: AgentParams
-    # jitted: (params, obs, key) -> (obs_dev, action, logprob, value, key)
+    # jitted: (params, obs, prev_a, prev_r, key) -> (obs_dev, action, logprob, value, key)
     ppo_inference: Callable
-    # jitted: (params, obs, key) -> (obs_dev, action, logits, key)
+    # jitted: (params, obs, prev_a, prev_r, key) -> (obs_dev, action, logits, key)
     impala_inference: Callable
-    # (params, obs_flat) -> (logits, value); used inside learner jits
+    # (params, obs_flat, prev_a, prev_r) -> (logits, value); used inside learner jits
     logits_and_value: Callable
+    uses_prev: bool
 
 
 def build_agent(cfg, action_dim: int, sample_obs, key: jax.Array, compute_dtype=jnp.float32) -> AgentBundle:
-    trunk = make_trunk(cfg.network, cfg.channels, cfg.hiddens, dtype=compute_dtype)
-    params, actor, critic = init_agent_params(key, trunk, action_dim, jnp.asarray(sample_obs))
+    base_trunk = make_trunk(cfg.network, cfg.channels, cfg.hiddens, dtype=compute_dtype)
+    uses_prev = bool(getattr(cfg, "use_prev_action_reward", False))
+    if uses_prev:
+        trunk = PrevActionRewardWrapper(trunk=base_trunk, action_dim=action_dim)
+    else:
+        trunk = base_trunk
 
-    def ppo_inference(p: AgentParams, obs, key):
+    def apply_trunk(network_params, obs, prev_a, prev_r):
+        if uses_prev:
+            return trunk.apply(network_params, obs, prev_a, prev_r)
+        return trunk.apply(network_params, obs)
+
+    actor = Actor(action_dim=action_dim)
+    critic = Critic()
+    sample_obs = jnp.asarray(sample_obs)
+    net_key, actor_key, critic_key = jax.random.split(key, 3)
+    b = sample_obs.shape[0]
+    zeros_a = jnp.zeros((b,), jnp.int32)
+    zeros_r = jnp.zeros((b,), jnp.float32)
+    if uses_prev:
+        network_params = trunk.init(net_key, sample_obs, zeros_a, zeros_r)
+    else:
+        network_params = trunk.init(net_key, sample_obs)
+    feats = apply_trunk(network_params, sample_obs, zeros_a, zeros_r)
+    params = AgentParams(network_params, actor.init(actor_key, feats), critic.init(critic_key, feats))
+
+    def ppo_inference(p: AgentParams, obs, prev_a, prev_r, key):
         obs = jnp.asarray(obs)
-        hidden = trunk.apply(p.network_params, obs)
+        hidden = apply_trunk(p.network_params, obs, prev_a, prev_r)
         logits = actor.apply(p.actor_params, hidden)
         action, key = sample_gumbel(key, logits)
         logprob = jax.nn.log_softmax(logits)[jnp.arange(action.shape[0]), action]
         value = critic.apply(p.critic_params, hidden).squeeze(-1)
         return obs, action, logprob, value, key
 
-    def impala_inference(p: AgentParams, obs, key):
+    def impala_inference(p: AgentParams, obs, prev_a, prev_r, key):
         obs = jnp.asarray(obs)
-        hidden = trunk.apply(p.network_params, obs)
+        hidden = apply_trunk(p.network_params, obs, prev_a, prev_r)
         logits = actor.apply(p.actor_params, hidden)
         action, key = sample_gumbel(key, logits)
         return obs, action, logits, key
 
-    def logits_and_value(p: AgentParams, obs) -> Tuple[Any, Any]:
-        hidden = trunk.apply(p.network_params, obs)
+    def logits_and_value(p: AgentParams, obs, prev_a=None, prev_r=None) -> Tuple[Any, Any]:
+        if prev_a is None:
+            prev_a = jnp.zeros(obs.shape[:1], jnp.int32)
+        if prev_r is None:
+            prev_r = jnp.zeros(obs.shape[:1], jnp.float32)
+        hidden = apply_trunk(p.network_params, obs, prev_a, prev_r)
         logits = actor.apply(p.actor_params, hidden)
         value = critic.apply(p.critic_params, hidden).squeeze(-1)
         return logits, value
@@ -71,4 +110,5 @@ def build_agent(cfg, action_dim: int, sample_obs, key: jax.Array, compute_dtype=
         ppo_inference=jax.jit(ppo_inference),
         impala_inference=jax.jit(impala_inference),
         logits_and_value=logits_and_value,
+        uses_prev=uses_prev,
     )

@@ -52,10 +52,15 @@ class ImpalaMetrics(NamedTuple):
     entropy_loss: jnp.ndarray
 
 
-def _flat_apply(logits_and_value: Callable, params, obs_tb):
+def _flat_apply(logits_and_value: Callable, params, obs_tb, prev_a_tb, prev_r_tb):
     """Apply the net to [T, B, ...] obs as one flattened [(T*B), ...] batch."""
     t, b = obs_tb.shape[:2]
-    logits, value = logits_and_value(params, obs_tb.reshape((t * b,) + obs_tb.shape[2:]))
+    logits, value = logits_and_value(
+        params,
+        obs_tb.reshape((t * b,) + obs_tb.shape[2:]),
+        prev_a_tb.reshape(t * b).astype(jnp.int32),
+        prev_r_tb.reshape(t * b),
+    )
     return logits.reshape(t, b, -1), value.reshape(t, b)
 
 
@@ -65,8 +70,8 @@ def make_ppo_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
 
     num_mb = cfg.num_minibatches * cfg.gradient_accumulation_steps
 
-    def ppo_loss(params, obs, actions, behavior_logprobs, advantages, target_values):
-        logits, new_values = logits_and_value(params, obs)
+    def ppo_loss(params, obs, prev_a, prev_r, actions, behavior_logprobs, advantages, target_values):
+        logits, new_values = logits_and_value(params, obs, prev_a.astype(jnp.int32), prev_r)
         return ppo_loss_from_outputs(
             logits, new_values, actions, behavior_logprobs, advantages, target_values,
             clip_coef=cfg.clip_coef, ent_coef=cfg.ent_coef, vf_coef=cfg.vf_coef,
@@ -87,7 +92,11 @@ def make_ppo_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
         next_obs = jnp.concatenate(next_obss)
         next_done = jnp.concatenate(next_dones)
 
-        _, next_value = logits_and_value(agent_state.params, next_obs)
+        # Bootstrap prev inputs: the last step's action/reward feed V(s_T)
+        # unless the bootstrap obs starts a fresh episode.
+        boot_prev_a = (storage.actions[-1] * (1.0 - next_done)).astype(jnp.int32)
+        boot_prev_r = storage.rewards[-1] * (1.0 - next_done)
+        _, next_value = logits_and_value(agent_state.params, next_obs, boot_prev_a, boot_prev_r)
         advantages, target_values = compute_gae(
             storage.rewards, storage.values, storage.dones,
             next_value, next_done, cfg.gamma, cfg.gae_lambda,
@@ -116,22 +125,25 @@ def make_ppo_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
                 return x.reshape((num_mb, -1) + x.shape[1:])
 
             mb_obs = shuffle(flat_storage.obs)
+            mb_prev_a = shuffle(flat_storage.prev_actions)
+            mb_prev_r = shuffle(flat_storage.prev_rewards)
             mb_actions = shuffle(flat_storage.actions)
             mb_logprobs = shuffle(flat_storage.logprobs)
             mb_adv = shuffle(flat_adv)
             mb_tgt = shuffle(flat_tgt)
 
             def update_minibatch(agent_state, mb):
-                obs, actions, logprobs, adv, tgt = mb
+                obs, prev_a, prev_r, actions, logprobs, adv, tgt = mb
                 (loss, aux), grads = loss_grad_fn(
-                    agent_state.params, obs, actions, logprobs, adv, tgt
+                    agent_state.params, obs, prev_a, prev_r, actions, logprobs, adv, tgt
                 )
                 grads = jax.lax.pmean(grads, axis_name=LEARNER_AXIS)
                 agent_state = agent_state.apply_gradients(grads=grads)
                 return agent_state, PPOMetrics(loss, aux.pg_loss, aux.v_loss, aux.entropy_loss, aux.approx_kl)
 
             agent_state, metrics = jax.lax.scan(
-                update_minibatch, agent_state, (mb_obs, mb_actions, mb_logprobs, mb_adv, mb_tgt)
+                update_minibatch, agent_state,
+                (mb_obs, mb_prev_a, mb_prev_r, mb_actions, mb_logprobs, mb_adv, mb_tgt),
             )
             return (agent_state, key), metrics
 
@@ -168,8 +180,8 @@ def make_impala_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
 
     num_mb = cfg.num_minibatches * cfg.gradient_accumulation_steps
 
-    def impala_loss(params, obs, actions, logitss, rewards, dones, firststeps):
-        pi_logits, values = _flat_apply(logits_and_value, params, obs)
+    def impala_loss(params, obs, prev_a, prev_r, actions, logitss, rewards, dones, firststeps):
+        pi_logits, values = _flat_apply(logits_and_value, params, obs, prev_a, prev_r)
         return impala_loss_from_outputs(
             pi_logits, values, logitss, actions, rewards, dones, firststeps,
             gamma=cfg.gamma, ent_coef=cfg.ent_coef, vf_coef=cfg.vf_coef,
@@ -189,9 +201,9 @@ def make_impala_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
             return jnp.moveaxis(x.reshape((t, num_mb, b // num_mb) + x.shape[2:]), 1, 0)
 
         def update_minibatch(agent_state, mb):
-            obs, actions, logitss, rewards, dones, firststeps = mb
+            obs, prev_a, prev_r, actions, logitss, rewards, dones, firststeps = mb
             (loss, aux), grads = loss_grad_fn(
-                agent_state.params, obs, actions, logitss, rewards, dones, firststeps
+                agent_state.params, obs, prev_a, prev_r, actions, logitss, rewards, dones, firststeps
             )
             grads = jax.lax.pmean(grads, axis_name=LEARNER_AXIS)
             agent_state = agent_state.apply_gradients(grads=grads)
@@ -202,6 +214,8 @@ def make_impala_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
             agent_state,
             (
                 env_minibatches(storage.obs),
+                env_minibatches(storage.prev_actions),
+                env_minibatches(storage.prev_rewards),
                 env_minibatches(storage.actions),
                 env_minibatches(storage.logitss),
                 env_minibatches(storage.rewards),

@@ -138,6 +138,8 @@ def ppo_rollout_thread(
 
     next_obs, _ = envs.reset()
     next_done = np.zeros(n_envs, np.float32)
+    prev_action = np.zeros(n_envs, np.int32)
+    prev_reward = np.zeros(n_envs, np.float32)
     params = None
 
     with jax.default_device(actor_device):
@@ -162,8 +164,11 @@ def ppo_rollout_thread(
             host_rows: List[tuple] = []
             for _ in range(cfg.num_steps):
                 cached_obs, cached_done = next_obs, next_done
+                cached_prev_a, cached_prev_r = prev_action, prev_reward
                 t0 = time.time()
-                obs_dev, action, logprob, value, key = inference_fn(params, cached_obs, key)
+                obs_dev, action, logprob, value, key = inference_fn(
+                    params, cached_obs, cached_prev_a, cached_prev_r, key
+                )
                 seg["inference_time"] += time.time() - t0
 
                 t0 = time.time()
@@ -174,6 +179,10 @@ def ppo_rollout_thread(
                 next_obs, next_reward, terminated, truncated, info = envs.step(cpu_action)
                 seg["env_send_time"] += time.time() - t0
                 next_done = (np.asarray(terminated) | np.asarray(truncated)).astype(np.float32)
+                first = (info["elapsed_step"] == 0).astype(np.float32)
+                # prev inputs for the NEXT step's fresh obs reset at boundaries
+                prev_action = (cpu_action * (1.0 - first)).astype(np.int32)
+                prev_reward = (next_reward * (1.0 - first)).astype(np.float32)
                 global_step += (
                     n_envs * cfg.num_actor_threads * len(cfg.actor_device_ids) * cfg.world_size
                 )
@@ -186,7 +195,7 @@ def ppo_rollout_thread(
                     cached_done,
                     info["env_ids"].copy(), next_reward.astype(np.float32),
                     np.asarray(truncated, np.float32), np.asarray(terminated, np.float32),
-                    (info["elapsed_step"] == 0).astype(np.float32),
+                    first, cached_prev_a, cached_prev_r,
                 ))
                 stats.update(info["env_ids"], info["reward"], terminated, truncated)
                 seg["storage_time"] += time.time() - t0
@@ -204,6 +213,8 @@ def ppo_rollout_thread(
                 truncations=np.stack([r[3] for r in host_rows]),
                 terminations=np.stack([r[4] for r in host_rows]),
                 firststeps=np.stack([r[5] for r in host_rows]),
+                prev_actions=np.stack([r[6] for r in host_rows]),
+                prev_rewards=np.stack([r[7] for r in host_rows]),
             )
             sharded_storage = ship_to_learners(storage, topo, env_axis=1)
             sharded_boot = ship_to_learners(
@@ -251,6 +262,7 @@ def impala_rollout_thread(
 
     envs.async_reset()
     storage: List[tuple] = []  # rows of (obs_dev[list], host fields...)
+    prev_action_all = np.zeros(n_envs, np.int32)
     params = None
 
     with jax.default_device(actor_device):
@@ -283,8 +295,14 @@ def impala_rollout_thread(
                     len(env_ids) * cfg.num_actor_threads * len(cfg.actor_device_ids) * cfg.world_size
                 )
 
+                # prev inputs for obs_b: the action sent previously and the
+                # reward that arrived WITH obs_b, both zeroed when obs_b is a
+                # fresh episode start.
+                first_b = (info["elapsed_step"] == 0).astype(np.float32)
+                prev_a_b = (prev_action_all[env_ids] * (1.0 - first_b)).astype(np.int32)
+                prev_r_b = (rew_b * (1.0 - first_b)).astype(np.float32)
                 t0 = time.time()
-                obs_dev, action, logits, key = inference_fn(params, obs_b, key)
+                obs_dev, action, logits, key = inference_fn(params, obs_b, prev_a_b, prev_r_b, key)
                 seg["inference_time"] += time.time() - t0
 
                 t0 = time.time()
@@ -294,6 +312,7 @@ def impala_rollout_thread(
                 t0 = time.time()
                 envs.send(cpu_action, env_ids)
                 seg["env_send_time"] += time.time() - t0
+                prev_action_all[env_ids] = cpu_action
 
                 t0 = time.time()
                 # Sort rows by env_id so time-major columns stay per-env aligned
@@ -304,7 +323,7 @@ def impala_rollout_thread(
                     obs_dev, jnp.asarray(order), action, logits,
                     done_b[order], env_ids[order].copy(), rew_b[order].astype(np.float32),
                     np.asarray(trunc_b, np.float32)[order], np.asarray(term_b, np.float32)[order],
-                    (info["elapsed_step"] == 0).astype(np.float32)[order],
+                    first_b[order], prev_a_b[order], prev_r_b[order],
                 ))
                 stats.update(env_ids, info["reward"], term_b, trunc_b)
                 seg["storage_time"] += time.time() - t0
@@ -322,6 +341,8 @@ def impala_rollout_thread(
                     truncations=np.stack([r[7] for r in storage]),
                     terminations=np.stack([r[8] for r in storage]),
                     firststeps=np.stack([r[9] for r in storage]),
+                    prev_actions=np.stack([r[10] for r in storage]),
+                    prev_rewards=np.stack([r[11] for r in storage]),
                 ),
                 topo,
             )

@@ -30,6 +30,8 @@ class PPOStorage:
     truncations: jnp.ndarray  # [T, B]
     terminations: jnp.ndarray # [T, B]
     firststeps: jnp.ndarray   # [T, B] elapsed_step == 0
+    prev_actions: jnp.ndarray # [T, B] action taken at t-1 (0 at episode start)
+    prev_rewards: jnp.ndarray # [T, B] reward received at t-1 (0 at episode start)
 
 
 @flax.struct.dataclass
@@ -43,6 +45,8 @@ class ImpalaStorage:
     truncations: jnp.ndarray
     terminations: jnp.ndarray
     firststeps: jnp.ndarray
+    prev_actions: jnp.ndarray # [T(+1), B] action taken at t-1 (0 at episode start)
+    prev_rewards: jnp.ndarray # [T(+1), B] reward received at t-1 (0 at episode start)
 
 
 def stack_steps(steps: List, cls):

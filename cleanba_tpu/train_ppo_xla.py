@@ -38,6 +38,7 @@ def main(argv=None):
     cfg.num_actor_threads = 1
     cfg.actor_device_ids = [0]
     cfg.learner_device_ids = [0]
+    assert not cfg.use_prev_action_reward, "xla-scan trainer supports plain trunks only"
     cfg.resolve()
     writer = make_writer(cfg, is_primary=True)
 
@@ -62,7 +63,7 @@ def main(argv=None):
 
         def body(carry, _):
             obs, done, key = carry
-            hidden = agent.trunk.apply(params.network_params, obs)
+            hidden = agent.trunk.apply(params.network_params, obs)  # plain trunk (asserted)
             logits = agent.actor.apply(params.actor_params, hidden)
             action, key = sample_gumbel(key, logits)
             logprob = jax.nn.log_softmax(logits)[jnp.arange(action.shape[0]), action]

@@ -123,3 +123,20 @@ def test_ppo_concurrency_mode(tmp_path):
     """Pipelined mode (actors one policy version behind) must not deadlock."""
     cfg = cartpole_ppo_cfg(tmp_path, total_timesteps=1024, concurrency=True)
     train(cfg)
+
+
+def test_ppo_prev_action_reward_variant(tmp_path):
+    """R2D2-style input conditioning trains end to end (reference
+    legacy_scripts/..._last_action_reward.py:168-183)."""
+    cfg = cartpole_ppo_cfg(tmp_path, total_timesteps=1024, use_prev_action_reward=True)
+    train(cfg)
+
+
+def test_impala_asap_mode(tmp_path):
+    cfg = ImpalaConfig(
+        env_id="CartPole-v1", network="mlp", hiddens=[32], local_num_envs=8,
+        num_steps=16, num_actor_threads=2, num_minibatches=2,
+        total_timesteps=2048, anneal_lr=False, asap=True,
+        run_dir=str(tmp_path), log_frequency=50, env_backend="python",
+    )
+    train(cfg)

@@ -48,6 +48,8 @@ def ppo_storage(rng, T, B):
         truncations=np.zeros((T, B), np.float32),
         terminations=np.zeros((T, B), np.float32),
         firststeps=np.zeros((T, B), np.float32),
+        prev_actions=np.zeros((T, B), np.int32),
+        prev_rewards=np.zeros((T, B), np.float32),
     )
 
 
@@ -126,6 +128,8 @@ def test_impala_update_runs(eight_cpu_devices, n_learners):
         truncations=np.zeros((T, B), np.float32),
         terminations=np.zeros((T, B), np.float32),
         firststeps=np.zeros((T, B), np.float32),
+        prev_actions=np.zeros((T, B), np.int32),
+        prev_rewards=np.zeros((T, B), np.float32),
     )
     sharded = ship_to_learners(storage, topo, env_axis=1)
     key = jax.device_put(jax.random.PRNGKey(1), topo.replicated())
