@@ -54,6 +54,9 @@ __all__ = ["train"]
 
 
 def train(cfg) -> None:
+    from cleanba_tpu.utils.watchdog import maybe_start_watchdog_from_env
+
+    maybe_start_watchdog_from_env()
     algo = "ppo" if isinstance(cfg, PPOConfig) else "impala"
     maybe_init_distributed(cfg)
     topo = build_topology(cfg.actor_device_ids, cfg.learner_device_ids)
