@@ -10,12 +10,14 @@ namespace cleanba {
 std::unique_ptr<Env> make_cartpole_env(const EnvOptions& opts);
 std::unique_ptr<Game> make_breakout_game();
 std::unique_ptr<Game> make_pong_game();
+std::unique_ptr<Game> make_space_invaders_game();
 
 namespace {
 
 std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Breakout-v5") return make_breakout_game();
   if (task == "Pong-v5") return make_pong_game();
+  if (task == "SpaceInvaders-v5") return make_space_invaders_game();
   return nullptr;
 }
 

@@ -146,3 +146,25 @@ def test_truncation_cap():
         saw_done |= term | trunc
     assert saw_done.all()
     env.close()
+
+
+@needs_native
+@pytest.mark.parametrize("task", ["Pong-v5", "SpaceInvaders-v5"])
+def test_other_games_spec_and_determinism(task):
+    e1 = make_env(task, seed=5, num_envs=2)()
+    e2 = make_env(task, seed=5, num_envs=2)()
+    assert e1.spec.obs_shape == (84, 84, 4)
+    assert e1.spec.num_actions == 18
+    o1, _ = e1.reset()
+    o2, _ = e2.reset()
+    assert np.array_equal(o1, o2)
+    rng = np.random.default_rng(0)
+    reward_seen = 0.0
+    for _ in range(200):
+        a = rng.integers(0, 18, size=2).astype(np.int32)
+        s1, s2 = e1.step(a), e2.step(a)
+        assert np.array_equal(s1[0], s2[0])
+        reward_seen += float(np.abs(s1[1]).sum())
+    assert reward_seen > 0, f"{task}: no rewards under random play"
+    e1.close()
+    e2.close()
