@@ -11,6 +11,7 @@ std::unique_ptr<Env> make_cartpole_env(const EnvOptions& opts);
 std::unique_ptr<Game> make_breakout_game();
 std::unique_ptr<Game> make_pong_game();
 std::unique_ptr<Game> make_space_invaders_game();
+std::unique_ptr<Game> make_beamrider_game();
 
 namespace {
 
@@ -18,6 +19,7 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Breakout-v5") return make_breakout_game();
   if (task == "Pong-v5") return make_pong_game();
   if (task == "SpaceInvaders-v5") return make_space_invaders_game();
+  if (task == "BeamRider-v5") return make_beamrider_game();
   return nullptr;
 }
 
