@@ -9,13 +9,10 @@ params and needs full behaviour distributions for the IS ratios).
 
 from __future__ import annotations
 
-from typing import List
-
 import flax
-import jax
 import jax.numpy as jnp
 
-__all__ = ["PPOStorage", "ImpalaStorage", "stack_steps"]
+__all__ = ["PPOStorage", "ImpalaStorage"]
 
 
 @flax.struct.dataclass
@@ -47,14 +44,3 @@ class ImpalaStorage:
     firststeps: jnp.ndarray
     prev_actions: jnp.ndarray # [T(+1), B] action taken at t-1 (0 at episode start)
     prev_rewards: jnp.ndarray # [T(+1), B] reward received at t-1 (0 at episode start)
-
-
-def stack_steps(steps: List, cls):
-    """Stack a list of per-step pytrees into one time-major pytree.
-
-    Equivalent of the reference's jitted `prepare_data` stack
-    (cleanba_ppo.py:276-278) — runs on the actor device as one fused stack.
-    """
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *steps) if not isinstance(steps[0], cls) else cls(
-        **{f: jnp.stack([getattr(s, f) for s in steps]) for f in cls.__dataclass_fields__}
-    )
