@@ -95,6 +95,8 @@ class CommonConfig:
     "condition the trunk on one-hot(prev action) and prev reward (R2D2-style inputs)"
     bf16: bool = False
     "run the conv trunk in bfloat16 on the MXU (params and heads stay float32)"
+    remat: bool = False
+    "rematerialize trunk activations in the learner backward pass (jax.checkpoint); trades FLOPs for HBM, enabling large minibatches"
 
     # --- optimization (shared) ---
     anneal_lr: bool = True

@@ -1,0 +1,48 @@
+"""Human-normalized score (HNS) utilities.
+
+The reference reports median HNS over Atari-57 via openrlbenchmark/rliable
+(README.md:14, static/plot.sh). This module provides the standard per-game
+random/human reference scores (Mnih et al. 2015 / Badia et al. 2020 tables)
+for the games the engine ships, plus aggregate helpers, so runs here report
+the same metric family.
+
+    hns = human_normalized_score("Breakout-v5", raw_return)
+    agg = aggregate_hns({"Breakout-v5": [320.5, 290.1], ...})
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Mapping
+
+import numpy as np
+
+__all__ = ["ATARI_SCORES", "human_normalized_score", "aggregate_hns"]
+
+# (random, human) raw-score anchors — standard published table values.
+ATARI_SCORES: Dict[str, tuple] = {
+    "Breakout-v5": (1.7, 30.5),
+    "Pong-v5": (-20.7, 14.6),
+    "SpaceInvaders-v5": (148.0, 1668.7),
+    "BeamRider-v5": (363.9, 16926.5),
+}
+
+
+def human_normalized_score(env_id: str, raw_return: float) -> float:
+    """(score - random) / (human - random); 1.0 = human level."""
+    if env_id not in ATARI_SCORES:
+        raise KeyError(f"no HNS anchors for {env_id!r}")
+    random_score, human_score = ATARI_SCORES[env_id]
+    return (raw_return - random_score) / (human_score - random_score)
+
+
+def aggregate_hns(returns_by_game: Mapping[str, Iterable[float]]) -> Dict[str, float]:
+    """Median/mean HNS across games (per-game mean over seeds first)."""
+    per_game = [
+        human_normalized_score(g, float(np.mean(list(rs))))
+        for g, rs in returns_by_game.items()
+    ]
+    return {
+        "median_hns": float(np.median(per_game)),
+        "mean_hns": float(np.mean(per_game)),
+        "num_games": len(per_game),
+    }

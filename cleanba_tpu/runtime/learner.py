@@ -69,6 +69,11 @@ def make_ppo_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
     cleanba_ppo.py:579-654, re-hosted under shard_map)."""
 
     num_mb = cfg.num_minibatches * cfg.gradient_accumulation_steps
+    if getattr(cfg, "remat", False):
+        # Trade FLOPs for HBM: recompute trunk activations in the backward
+        # pass instead of storing them (large-minibatch conv backward would
+        # otherwise exceed HBM; the MXU has FLOPs to spare here).
+        logits_and_value = jax.checkpoint(logits_and_value)
 
     def ppo_loss(params, obs, prev_a, prev_r, actions, behavior_logprobs, advantages, target_values):
         logits, new_values = logits_and_value(params, obs, prev_a.astype(jnp.int32), prev_r)
@@ -179,6 +184,8 @@ def make_impala_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
     """
 
     num_mb = cfg.num_minibatches * cfg.gradient_accumulation_steps
+    if getattr(cfg, "remat", False):
+        logits_and_value = jax.checkpoint(logits_and_value)  # see PPO note
 
     def impala_loss(params, obs, prev_a, prev_r, actions, logitss, rewards, dones, firststeps):
         pi_logits, values = _flat_apply(logits_and_value, params, obs, prev_a, prev_r)

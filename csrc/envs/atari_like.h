@@ -113,6 +113,18 @@ class AtariLikeEnv : public Env {
   // Write [84, 84, stack] uint8, oldest frame in channel 0.
   void compose(uint8_t* obs) const {
     const int S = opts_.frame_stack;
+    if (S == 4) {
+      // Fast path: one 32-bit store per pixel instead of 4 strided byte stores.
+      const uint8_t* f0 = stack_[stack_head_ % 4];
+      const uint8_t* f1 = stack_[(stack_head_ + 1) % 4];
+      const uint8_t* f2 = stack_[(stack_head_ + 2) % 4];
+      const uint8_t* f3 = stack_[(stack_head_ + 3) % 4];
+      uint32_t* out = reinterpret_cast<uint32_t*>(obs);
+      for (int i = 0; i < kScreenPx; ++i)
+        out[i] = static_cast<uint32_t>(f0[i]) | (static_cast<uint32_t>(f1[i]) << 8) |
+                 (static_cast<uint32_t>(f2[i]) << 16) | (static_cast<uint32_t>(f3[i]) << 24);
+      return;
+    }
     for (int s = 0; s < S; ++s) {
       const uint8_t* src = stack_[(stack_head_ + s) % S];
       uint8_t* dst = obs + s;
