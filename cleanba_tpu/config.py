@@ -97,6 +97,8 @@ class CommonConfig:
     "run the conv trunk in bfloat16 on the MXU (params and heads stay float32)"
     remat: bool = False
     "rematerialize trunk activations in the learner backward pass (jax.checkpoint); trades FLOPs for HBM, enabling large minibatches"
+    device_stack: bool = False
+    "frame-stack on the TPU: the engine emits only the newest frame (4x less host->device traffic) and the stack is rebuilt on-device"
 
     # --- optimization (shared) ---
     anneal_lr: bool = True

@@ -54,6 +54,7 @@ def make_env(
     num_threads: int = 0,
     protocol: str = "machado",
     backend: str = "auto",
+    frame_stack: int = 0,
 ) -> Callable[[], BatchedEnv]:
     """Returns a thunk building the batched env (reference factory shape,
     cleanba_ppo.py:126-146: `envs = make_env(...)()`)."""
@@ -81,7 +82,9 @@ def make_env(
             raise ValueError(f"{env_id!r} requires the native engine (backend='python' given)")
         from cleanba_tpu.envs.native import NativeBatchedEnv
 
-        opts = PROTOCOLS[protocol]
+        opts = dict(PROTOCOLS[protocol])
+        if frame_stack > 0:
+            opts["frame_stack"] = frame_stack
         return NativeBatchedEnv(
             env_id, num_envs=num_envs, batch_size=async_batch_size,
             num_threads=num_threads, seed=seed, **opts,

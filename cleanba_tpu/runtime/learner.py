@@ -124,32 +124,30 @@ def make_ppo_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
         def update_epoch(carry, _):
             agent_state, key = carry
             key, subkey = jax.random.split(key)
+            # Shuffle by *indices* and gather one minibatch at a time inside
+            # the scan — same selection as the reference's materialized
+            # shuffled copies (cleanba_ppo.py:597-615) without ever holding a
+            # second copy of the obs tensor in HBM.
+            n = flat_adv.shape[0]
+            mb_indices = jax.random.permutation(subkey, n).reshape(num_mb, -1)
 
-            def shuffle(x):
-                x = jax.random.permutation(subkey, x)
-                return x.reshape((num_mb, -1) + x.shape[1:])
-
-            mb_obs = shuffle(flat_storage.obs)
-            mb_prev_a = shuffle(flat_storage.prev_actions)
-            mb_prev_r = shuffle(flat_storage.prev_rewards)
-            mb_actions = shuffle(flat_storage.actions)
-            mb_logprobs = shuffle(flat_storage.logprobs)
-            mb_adv = shuffle(flat_adv)
-            mb_tgt = shuffle(flat_tgt)
-
-            def update_minibatch(agent_state, mb):
-                obs, prev_a, prev_r, actions, logprobs, adv, tgt = mb
+            def update_minibatch(agent_state, idx):
+                take = lambda x: jnp.take(x, idx, axis=0)
                 (loss, aux), grads = loss_grad_fn(
-                    agent_state.params, obs, prev_a, prev_r, actions, logprobs, adv, tgt
+                    agent_state.params,
+                    take(flat_storage.obs),
+                    take(flat_storage.prev_actions),
+                    take(flat_storage.prev_rewards),
+                    take(flat_storage.actions),
+                    take(flat_storage.logprobs),
+                    take(flat_adv),
+                    take(flat_tgt),
                 )
                 grads = jax.lax.pmean(grads, axis_name=LEARNER_AXIS)
                 agent_state = agent_state.apply_gradients(grads=grads)
                 return agent_state, PPOMetrics(loss, aux.pg_loss, aux.v_loss, aux.entropy_loss, aux.approx_kl)
 
-            agent_state, metrics = jax.lax.scan(
-                update_minibatch, agent_state,
-                (mb_obs, mb_prev_a, mb_prev_r, mb_actions, mb_logprobs, mb_adv, mb_tgt),
-            )
+            agent_state, metrics = jax.lax.scan(update_minibatch, agent_state, mb_indices)
             return (agent_state, key), metrics
 
         (agent_state, key), metrics = jax.lax.scan(
@@ -202,33 +200,30 @@ def make_impala_update(cfg, topo: DeviceTopology, logits_and_value: Callable):
     def local_update(agent_state: TrainState, storages: List[ImpalaStorage], key: jax.Array):
         storage = jax.tree.map(lambda *x: jnp.concatenate(x, axis=1), *storages)
 
-        def env_minibatches(x):
-            # [T, B, ...] -> [num_mb, T, B/num_mb, ...], contiguous env blocks.
-            t, b = x.shape[:2]
-            return jnp.moveaxis(x.reshape((t, num_mb, b // num_mb) + x.shape[2:]), 1, 0)
+        # Contiguous env-block minibatches (cleanba_impala.py:627-632), sliced
+        # lazily inside the scan (no [num_mb, ...] copy of the obs in HBM).
+        b_local = storage.rewards.shape[1]
+        mb_envs = b_local // num_mb
 
-        def update_minibatch(agent_state, mb):
-            obs, prev_a, prev_r, actions, logitss, rewards, dones, firststeps = mb
+        def update_minibatch(agent_state, mb_start):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, mb_start, mb_envs, axis=1)
             (loss, aux), grads = loss_grad_fn(
-                agent_state.params, obs, prev_a, prev_r, actions, logitss, rewards, dones, firststeps
+                agent_state.params,
+                sl(storage.obs),
+                sl(storage.prev_actions),
+                sl(storage.prev_rewards),
+                sl(storage.actions),
+                sl(storage.logitss),
+                sl(storage.rewards),
+                sl(storage.dones),
+                sl(storage.firststeps),
             )
             grads = jax.lax.pmean(grads, axis_name=LEARNER_AXIS)
             agent_state = agent_state.apply_gradients(grads=grads)
             return agent_state, ImpalaMetrics(loss, aux.pg_loss, aux.v_loss, aux.entropy_loss)
 
         agent_state, metrics = jax.lax.scan(
-            update_minibatch,
-            agent_state,
-            (
-                env_minibatches(storage.obs),
-                env_minibatches(storage.prev_actions),
-                env_minibatches(storage.prev_rewards),
-                env_minibatches(storage.actions),
-                env_minibatches(storage.logitss),
-                env_minibatches(storage.rewards),
-                env_minibatches(storage.dones),
-                env_minibatches(storage.firststeps),
-            ),
+            update_minibatch, agent_state, jnp.arange(num_mb) * mb_envs
         )
         metrics = jax.tree.map(lambda m: jax.lax.pmean(m, LEARNER_AXIS).mean(), metrics)
         return agent_state, metrics, key

@@ -116,7 +116,7 @@ def ppo_rollout_thread(
     key: jax.Array,
     cfg,
     make_envs: Callable,
-    inference_fn: Callable,   # jitted (params, obs, key) -> (obs_dev, a, logp, v, key)
+    agent,                    # AgentBundle (runtime/agent.py)
     rollout_queue: queue.Queue,
     param_source,
     writer,
@@ -127,6 +127,8 @@ def ppo_rollout_thread(
 ) -> None:
     envs = make_envs()
     n_envs = cfg.local_num_envs
+    device_stack = bool(getattr(cfg, "device_stack", False)) and len(envs.spec.obs_shape) == 3
+    inference_fn = agent.ppo_inference_stacked if device_stack else agent.ppo_inference
     stats = EpisodeStats(n_envs)
     global_step = 0
     start_time = time.time()
@@ -138,12 +140,18 @@ def ppo_rollout_thread(
 
     next_obs, _ = envs.reset()
     next_done = np.zeros(n_envs, np.float32)
+    next_first = np.ones(n_envs, np.float32)  # reset obs are fresh
     prev_action = np.zeros(n_envs, np.int32)
     prev_reward = np.zeros(n_envs, np.float32)
     params = None
 
     with jax.default_device(actor_device):
         key = jax.device_put(key, actor_device)
+        prev_stack = None
+        if device_stack:
+            # Initial stack: the reset frame tiled (uploaded once).
+            frame0 = jax.device_put(jnp.asarray(next_obs), actor_device)
+            prev_stack = jnp.repeat(frame0, 4, axis=-1)
         for update in range(1, cfg.num_updates + 2):
             if stop_event is not None and stop_event.is_set():
                 break
@@ -166,9 +174,15 @@ def ppo_rollout_thread(
                 cached_obs, cached_done = next_obs, next_done
                 cached_prev_a, cached_prev_r = prev_action, prev_reward
                 t0 = time.time()
-                obs_dev, action, logprob, value, key = inference_fn(
-                    params, cached_obs, cached_prev_a, cached_prev_r, key
-                )
+                if device_stack:
+                    obs_dev, action, logprob, value, key = inference_fn(
+                        params, cached_obs, prev_stack, next_first, cached_prev_a, cached_prev_r, key
+                    )
+                    prev_stack = obs_dev
+                else:
+                    obs_dev, action, logprob, value, key = inference_fn(
+                        params, cached_obs, cached_prev_a, cached_prev_r, key
+                    )
                 seg["inference_time"] += time.time() - t0
 
                 t0 = time.time()
@@ -180,6 +194,7 @@ def ppo_rollout_thread(
                 seg["env_send_time"] += time.time() - t0
                 next_done = (np.asarray(terminated) | np.asarray(truncated)).astype(np.float32)
                 first = (info["elapsed_step"] == 0).astype(np.float32)
+                next_first = first
                 # prev inputs for the NEXT step's fresh obs reset at boundaries
                 prev_action = (cpu_action * (1.0 - first)).astype(np.int32)
                 prev_reward = (next_reward * (1.0 - first)).astype(np.float32)
@@ -202,6 +217,10 @@ def ppo_rollout_thread(
             rollout_time.append(time.time() - rollout_t0)
 
             t0 = time.time()
+            if device_stack:
+                boot_obs = agent.stack_frames(prev_stack, jnp.asarray(next_obs), jnp.asarray(next_first))
+            else:
+                boot_obs = jnp.asarray(next_obs)
             storage = PPOStorage(
                 obs=jnp.stack([r[0] for r in obs_list]),
                 dones=np.stack([r[0] for r in host_rows]),
@@ -218,7 +237,7 @@ def ppo_rollout_thread(
             )
             sharded_storage = ship_to_learners(storage, topo, env_axis=1)
             sharded_boot = ship_to_learners(
-                (jnp.asarray(next_obs), jnp.asarray(next_done)), topo, env_axis=0
+                (boot_obs, jnp.asarray(next_done)), topo, env_axis=0
             )
             seg["data_transfer_time"] += time.time() - t0
 
@@ -240,7 +259,7 @@ def impala_rollout_thread(
     key: jax.Array,
     cfg,
     make_envs: Callable,
-    inference_fn: Callable,   # jitted (params, obs, key) -> (obs_dev, a, logits, key)
+    agent,                    # AgentBundle (runtime/agent.py)
     rollout_queue: queue.Queue,
     param_source,
     writer,
@@ -251,6 +270,7 @@ def impala_rollout_thread(
 ) -> None:
     envs = make_envs()
     n_envs = cfg.local_num_envs
+    inference_fn = agent.impala_inference
     stats = EpisodeStats(n_envs)
     global_step = 0
     start_time = time.time()

@@ -106,12 +106,11 @@ def train(cfg) -> None:
 
     if algo == "ppo":
         update_fn = make_ppo_update(cfg, topo, agent.logits_and_value)
-        inference_fn = agent.ppo_inference
         rollout_target = ppo_rollout_thread
     else:
         update_fn = make_impala_update(cfg, topo, agent.logits_and_value)
-        inference_fn = agent.impala_inference
         rollout_target = impala_rollout_thread
+    env_frame_stack = 1 if (cfg.device_stack and algo == "ppo") else 0
 
     learner_keys = jax.device_put(key, topo.replicated())
 
@@ -158,8 +157,9 @@ def train(cfg) -> None:
                         async_batch_size=cfg.async_batch_size,
                         protocol=cfg.env_protocol,
                         backend=cfg.env_backend,
+                        frame_stack=env_frame_stack,
                     ),
-                    inference_fn,
+                    agent,
                     rollout_queues[-1],
                     param_source,
                     writer if d_idx == 0 and thread_id == 0 else _dummy_writer(),
@@ -310,14 +310,14 @@ def _rollout_wrapper(target):
     """Adapts the rollout thread signature: applies per-run step overrides
     (resume support) and logs uncaught exceptions instead of dying silently."""
 
-    def run(key, cfg, make_envs, inference_fn, rollout_queue, param_source,
+    def run(key, cfg, make_envs, agent, rollout_queue, param_source,
             writer, topo, actor_device, device_thread_id, overrides, stop_event=None):
         import copy
 
         local_cfg = copy.copy(cfg)
         local_cfg.num_updates = overrides["num_updates"]
         try:
-            target(key, local_cfg, make_envs, inference_fn, rollout_queue,
+            target(key, local_cfg, make_envs, agent, rollout_queue,
                    param_source, writer, topo, actor_device, device_thread_id,
                    stop_event=stop_event)
         except Exception:
