@@ -19,7 +19,7 @@ from cleanba_tpu.config import ATARI_MAX_FRAMES
 from cleanba_tpu.envs.api import BatchedEnv, EnvSpec
 from cleanba_tpu.envs.python_engine import PyCartPoleEnv
 
-__all__ = ["make_env", "BatchedEnv", "EnvSpec", "PROTOCOLS"]
+__all__ = ["make_env", "BatchedEnv", "EnvSpec", "PROTOCOLS", "is_procgen_task"]
 
 PROTOCOLS = {
     # Machado et al. 2017 eval protocol (reference cleanba_ppo.py:126-139).
@@ -41,9 +41,27 @@ PROTOCOLS = {
         reward_clip=True,
         max_episode_steps=ATARI_MAX_FRAMES,
     ),
+    # Procgen: plain make with no Atari preprocessing (reference
+    # legacy_scripts/cleanba_ppo_envpool_procgen.py:115-130); raw rewards,
+    # 64x64x3 RGB obs, 15-action space, procgen's 1000-step timeout.
+    "procgen": dict(
+        repeat_action_probability=0.0,
+        episodic_life=False,
+        noop_max=1,
+        full_action_space=True,
+        reward_clip=False,
+        max_episode_steps=1000,
+    ),
 }
 
 _STATE_TASKS = {"CartPole-v1"}
+
+# Procgen-family ids handled by the engine's procedural 64x64 RGB tasks.
+_PROCGEN_PREFIXES = ("Bigfish", "Maze")
+
+
+def is_procgen_task(env_id: str) -> bool:
+    return env_id.endswith("-v0") and env_id.startswith(_PROCGEN_PREFIXES)
 
 
 def make_env(
@@ -82,7 +100,10 @@ def make_env(
             raise ValueError(f"{env_id!r} requires the native engine (backend='python' given)")
         from cleanba_tpu.envs.native import NativeBatchedEnv
 
-        opts = dict(PROTOCOLS[protocol])
+        # Procgen tasks always use the plain-make protocol regardless of the
+        # configured Atari preset (the reference's procgen script has no
+        # protocol flags at all).
+        opts = dict(PROTOCOLS["procgen" if is_procgen_task(env_id) else protocol])
         if frame_stack > 0:
             opts["frame_stack"] = frame_stack
         return NativeBatchedEnv(

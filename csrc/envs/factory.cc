@@ -3,6 +3,7 @@
 #include <string>
 
 #include "atari_like.h"
+#include "procgen_like.h"
 #include "env.h"
 
 namespace cleanba {
@@ -12,6 +13,8 @@ std::unique_ptr<Game> make_breakout_game();
 std::unique_ptr<Game> make_pong_game();
 std::unique_ptr<Game> make_space_invaders_game();
 std::unique_ptr<Game> make_beamrider_game();
+std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 
 namespace {
 
@@ -23,10 +26,26 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   return nullptr;
 }
 
+// Procgen-family tasks (64x64 RGB, 15 actions, procedural levels). Ids follow
+// EnvPool's procgen naming: <Game>{Easy,Hard}-v0; bare <Game>-v0 = easy.
+std::unique_ptr<Env> make_procgen(const std::string& task, const EnvOptions& opts) {
+  if (task == "Bigfish-v0" || task == "BigfishEasy-v0") return make_bigfish_env(opts, false);
+  if (task == "BigfishHard-v0") return make_bigfish_env(opts, true);
+  if (task == "Maze-v0" || task == "MazeEasy-v0") return make_maze_env(opts, false);
+  if (task == "MazeHard-v0") return make_maze_env(opts, true);
+  return nullptr;
+}
+
+bool is_procgen(const std::string& task) {
+  EnvOptions probe;
+  return make_procgen(task, probe) != nullptr;
+}
+
 }  // namespace
 
 std::unique_ptr<Env> make_env(const std::string& task, const EnvOptions& opts) {
   if (task == "CartPole-v1") return make_cartpole_env(opts);
+  if (auto pg = make_procgen(task, opts)) return pg;
   if (auto game = make_game(task)) return std::make_unique<AtariLikeEnv>(std::move(game), opts);
   return nullptr;
 }
@@ -37,6 +56,13 @@ bool task_info(const std::string& task, const EnvOptions& opts, TaskInfo* out) {
     out->obs_dtype = 1;  // float32
     out->num_actions = 2;
     out->obs_size_bytes = 4 * sizeof(float);
+    return true;
+  }
+  if (is_procgen(task)) {
+    out->obs_shape = {kPg, kPg, 3};
+    out->obs_dtype = 0;  // uint8
+    out->num_actions = 15;
+    out->obs_size_bytes = kPgObsBytes;
     return true;
   }
   if (auto game = make_game(task)) {

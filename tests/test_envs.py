@@ -168,3 +168,74 @@ def test_other_games_spec_and_determinism(task):
     assert reward_seen > 0, f"{task}: no rewards under random play"
     e1.close()
     e2.close()
+
+
+@needs_native
+@pytest.mark.parametrize("task", ["BigfishHard-v0", "Maze-v0"])
+def test_procgen_spec_and_determinism(task):
+    # Procgen contract (reference legacy_scripts/cleanba_ppo_envpool_procgen.py
+    # :115-130): plain make, 64x64x3 uint8 RGB obs, 15-action space, raw
+    # (unclipped) rewards, fresh procedural level every episode.
+    e1 = make_env(task, seed=9, num_envs=4)()
+    e2 = make_env(task, seed=9, num_envs=4)()
+    assert e1.spec.obs_shape == (64, 64, 3)
+    assert e1.spec.obs_dtype == np.uint8
+    assert e1.spec.num_actions == 15
+    o1, _ = e1.reset()
+    o2, _ = e2.reset()
+    assert np.array_equal(o1, o2)
+    rng = np.random.default_rng(2)
+    for _ in range(120):
+        a = rng.integers(0, 15, size=4).astype(np.int32)
+        s1, s2 = e1.step(a), e2.step(a)
+        assert np.array_equal(s1[0], s2[0]) and np.array_equal(s1[1], s2[1])
+    e1.close()
+    e2.close()
+
+
+@needs_native
+def test_procgen_levels_are_procedural():
+    # Different seeds must generate different levels (first observations).
+    e1 = make_env("Maze-v0", seed=1, num_envs=1)()
+    e2 = make_env("Maze-v0", seed=100, num_envs=1)()
+    o1, _ = e1.reset()
+    o2, _ = e2.reset()
+    assert not np.array_equal(o1, o2)
+    e1.close()
+    e2.close()
+
+
+@needs_native
+def test_bigfish_eating_rewards_and_timeout():
+    # Random play on easy Bigfish should eventually eat a small fish (+1 raw,
+    # unclipped) and every episode must end by the 1000-step procgen timeout.
+    env = make_env("Bigfish-v0", seed=3, num_envs=8)()
+    env.reset()
+    rng = np.random.default_rng(0)
+    total, ends = 0.0, 0
+    for _ in range(1100):
+        _, rew, term, trunc, _ = env.step(rng.integers(0, 15, size=8).astype(np.int32))
+        total += float(rew.sum())
+        ends += int((term | trunc).sum())
+    assert total > 0, "no fish eaten under random play"
+    assert ends >= 8, "episodes did not terminate within the procgen timeout"
+    env.close()
+
+
+@needs_native
+def test_maze_solvable_and_pays_ten():
+    # Mazes are perfect (fully connected), so random walkers across a batch of
+    # levels reliably reach the cheese; each solve pays exactly +10 and ends
+    # the episode. (Empirically 16 envs x 3000 steps yields ~40 solves.)
+    env = make_env("Maze-v0", seed=11, num_envs=16)()
+    env.reset()
+    rng = np.random.default_rng(4)
+    total, solves = 0.0, 0
+    for _ in range(3000):
+        _, rew, term, trunc, _ = env.step(rng.integers(0, 15, size=16).astype(np.int32))
+        total += float(rew.sum())
+        solves += int((rew > 0).sum())
+        assert set(np.unique(rew)).issubset({0.0, 10.0})
+    env.close()
+    assert solves >= 3, "random walkers never reached the cheese"
+    assert total == 10.0 * solves
