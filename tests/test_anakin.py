@@ -1,0 +1,81 @@
+"""Anakin trainer tests on the 8-virtual-device CPU mesh (conftest.py).
+
+Covers: the single-program train step compiles and executes over a real
+multi-device mesh with sharded envs + replicated params, learning actually
+happens on CartPole, and the update is bitwise deterministic per seed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cleanba_tpu import train_ppo_anakin as anakin
+from cleanba_tpu.config import PPOConfig
+from cleanba_tpu.runtime.agent import build_agent
+
+
+def _setup(env_id, network, n_envs, num_steps, seed=1, **kw):
+    cfg = PPOConfig(
+        env_id=env_id, network=network, total_timesteps=10**6,
+        local_num_envs=n_envs, num_actor_threads=1, num_steps=num_steps,
+        num_minibatches=2, update_epochs=1, log_frequency=1,
+        run_dir="/tmp/anakin_test", seed=seed, **kw,
+    )
+    cfg.resolve()
+    env = anakin.make_jax_env(cfg.env_id, {"repeat_action_probability": 0.25})
+    mesh = jax.sharding.Mesh(np.array(jax.local_devices()), (anakin.AXIS,))
+    key = jax.random.PRNGKey(cfg.seed)
+    obs_shape = env.obs_shape
+    dtype = np.uint8 if env.obs_dtype == jnp.uint8 else np.float32
+    agent = build_agent(cfg, env.num_actions, np.zeros((1, *obs_shape), dtype), key)
+    step = anakin.build_train_step(cfg, env, mesh, agent, n_envs)
+    carry = anakin.make_anakin_state(cfg, env, mesh, agent, key)
+    return cfg, step, carry
+
+
+def test_train_step_runs_on_mesh(eight_cpu_devices):
+    cfg, step, carry = _setup("Breakout-v5", "impala_cnn", n_envs=16, num_steps=4)
+    carry, metrics, charts = step(carry)
+    assert np.isfinite(float(metrics.loss))
+    assert np.isfinite(float(charts[0]))
+    # env state stays sharded over the mesh after the step
+    assert len(carry.obs.sharding.device_set) == 8
+
+
+def test_cartpole_learns(eight_cpu_devices):
+    cfg, step, carry = _setup("CartPole-v1", "mlp", n_envs=32, num_steps=32)
+    first_ret = None
+    for i in range(12):
+        carry, metrics, charts = step(carry)
+        ret = float(charts[0])
+        if i == 1:
+            first_ret = ret
+    assert np.isfinite(float(metrics.loss))
+    assert ret > first_ret, f"no learning signal: {first_ret} -> {ret}"
+
+
+def test_update_is_deterministic(eight_cpu_devices):
+    def run():
+        cfg, step, carry = _setup("CartPole-v1", "mlp", n_envs=16, num_steps=8, seed=7)
+        for _ in range(2):
+            carry, metrics, charts = step(carry)
+        leaf = jax.tree.leaves(carry.agent_state.params)[0]
+        return np.asarray(jax.device_get(leaf)), float(metrics.loss)
+
+    p1, l1 = run()
+    p2, l2 = run()
+    assert l1 == l2
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_train_entrypoint_smoke(eight_cpu_devices, tmp_path):
+    cfg = PPOConfig(
+        env_id="CartPole-v1", network="mlp", total_timesteps=2048,
+        local_num_envs=16, num_actor_threads=1, num_steps=16,
+        num_minibatches=2, update_epochs=1, log_frequency=4,
+        run_dir=str(tmp_path), seed=3,
+    )
+    cfg.resolve()
+    params, stats = anakin.train(cfg)
+    assert stats["global_step"] == 2048
+    assert jax.tree.leaves(params)

@@ -1,0 +1,164 @@
+"""On-device (pure-JAX) env engine tests.
+
+The JAX games must be rules-identical to the C++ engine (csrc/envs/), which
+itself mirrors EnvPool's Atari protocol (reference make_env flags,
+cleanba/cleanba_ppo.py:126-146). The strongest check is pixel-exact parity of
+deterministic frames between the two engines.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cleanba_tpu.envs import PROTOCOLS, make_env
+from cleanba_tpu.envs.jax_engine import JaxCartPoleEnv, make_jax_env
+
+
+def _native_available():
+    try:
+        from cleanba_tpu.envs.native import native_available
+
+        return native_available()
+    except Exception:
+        return False
+
+
+def test_breakout_reset_frame_matches_cpp_engine():
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env("Breakout-v5", PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env("Breakout-v5", seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    # Machado protocol has zero noop starts, so the reset frame is fully
+    # deterministic in both engines and must match pixel for pixel.
+    assert np.array_equal(np.asarray(obs), cobs[0])
+
+
+def test_breakout_paddle_motion_matches_cpp_engine():
+    if not _native_available():
+        pytest.skip("native engine not built")
+    # sticky=0 and no FIRE -> both engines are fully deterministic while the
+    # ball waits on the paddle; frames must stay identical step by step.
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Breakout-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env("Breakout-v5", seed=0, num_envs=1, protocol="machado")()
+    cenv.reset()
+    # LEFT (4) x3 then RIGHT (3) x5 in the full action space.
+    step = jax.jit(jenv.step)
+    for action in [4, 4, 4, 3, 3, 3, 3, 3]:
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(action))
+        cobs, crew, cterm, ctrunc, cinfo = cenv.step(np.full(1, action, np.int32))
+        assert np.array_equal(np.asarray(obs), cobs[0]), f"frame diverged at action {action}"
+        assert float(r) == float(crew[0])
+        assert bool(term) == bool(cterm[0])
+    cenv.close()
+    # sticky actions consume the uniform draw identically: with p=1.0 the
+    # first step repeats prev_action=0 (NOOP), so the paddle cannot move.
+    opts["repeat_action_probability"] = 1.0
+    jenv2 = make_jax_env("Breakout-v5", opts)
+    s2, obs0 = jenv2.reset(jax.random.PRNGKey(1))
+    s2, obs1, *_ = jenv2.step(s2, jnp.int32(4))
+    assert float(s2.core.paddle_x) == 36.0  # never moved
+
+
+def test_breakout_plays_and_scores():
+    jenv = make_jax_env("Breakout-v5", PROTOCOLS["machado"])
+    state, _ = jenv.reset(jax.random.PRNGKey(3))
+    step = jax.jit(jenv.step)
+    total_raw, clipped_vals = 0.0, set()
+    lost_life = False
+    for i in range(800):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(1))  # FIRE
+        total_raw += float(rr)
+        if float(r) != 0.0:
+            clipped_vals.add(float(r))
+        if int(state.core.lives) < 5:
+            lost_life = True
+        if lost_life and total_raw > 0:
+            break
+    assert total_raw > 0, "ball never hit a brick in 800 steps"
+    assert clipped_vals <= {1.0}, "reward clip must sign() raw brick scores"
+
+
+def test_breakout_truncation_and_autoreset():
+    opts = dict(PROTOCOLS["machado"])
+    opts["max_episode_steps"] = 7
+    jenv = make_jax_env("Breakout-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    for i in range(1, 8):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(0))
+    assert bool(trunc) and not bool(term)
+    assert bool(first)
+    assert int(state.elapsed) == 0  # EnvPool auto-reset: fresh episode
+    # the returned obs is the new episode's first frame: full brick wall again
+    j2 = make_jax_env("Breakout-v5", PROTOCOLS["machado"])
+    _, fresh = j2.reset(jax.random.PRNGKey(9))
+    assert np.array_equal(np.asarray(obs)[..., -1], np.asarray(fresh)[..., -1])
+
+
+def test_breakout_episodic_life():
+    opts = dict(PROTOCOLS["espeholt"])
+    opts["noop_max"] = 1  # keep resets deterministic for the check below
+    jenv = make_jax_env("Breakout-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(5))
+    step = jax.jit(jenv.step)
+    # FIRE then run LEFT so the paddle leaves the drop point eventually.
+    saw_life_term = False
+    for i in range(2500):
+        a = 1 if i % 7 == 0 else 4
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(a))
+        if bool(term):
+            saw_life_term = True
+            break
+    assert saw_life_term, "episodic_life must terminate on a lost life"
+
+
+def test_cartpole_dynamics_and_termination():
+    env = JaxCartPoleEnv()
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4,)
+    # Closed-form one-step check from a known state (gym CartPole-v1 physics).
+    s = state.replace(
+        x=jnp.float32(0.0), x_dot=jnp.float32(0.0),
+        theta=jnp.float32(0.05), theta_dot=jnp.float32(0.0),
+        elapsed=jnp.int32(0),
+    )
+    ns, o, r, rr, term, trunc, first = env.step(s, jnp.int32(1))
+    force, th, thd = 10.0, 0.05, 0.0
+    costh, sinth = np.cos(th), np.sin(th)
+    temp = (force + 0.05 * thd**2 * sinth) / 1.1
+    thacc = (9.8 * sinth - costh * temp) / (0.5 * (4.0 / 3.0 - 0.1 * costh**2 / 1.1))
+    xacc = temp - 0.05 * thacc * costh / 1.1
+    np.testing.assert_allclose(float(o[1]), 0.02 * xacc, rtol=1e-5)
+    np.testing.assert_allclose(float(o[3]), 0.02 * thacc, rtol=1e-5)
+    assert float(r) == 1.0 and not bool(term)
+    # Pushing one way forever must terminate within 500 steps.
+    step = jax.jit(env.step)
+    s, done_at = state, None
+    for i in range(1, 501):
+        s, o, r, rr, term, trunc, first = step(s, jnp.int32(1))
+        if bool(term):
+            done_at = i
+            break
+    assert done_at is not None and done_at < 200
+    assert int(s.elapsed) == 0  # auto-reset
+
+
+def test_vmapped_batch_step():
+    jenv = make_jax_env("Breakout-v5", PROTOCOLS["machado"])
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    state, obs = jax.vmap(jenv.reset)(keys)
+    assert obs.shape == (4, 84, 84, 4) and obs.dtype == jnp.uint8
+    state, obs, r, rr, term, trunc, first = jax.jit(jax.vmap(jenv.step))(
+        state, jnp.zeros(4, jnp.int32)
+    )
+    assert obs.shape == (4, 84, 84, 4)
+    assert r.shape == (4,) and term.shape == (4,)
+    # different env keys -> independent sticky/launch streams, same reset frame
+    assert np.array_equal(np.asarray(obs[0]), np.asarray(obs[1]))
