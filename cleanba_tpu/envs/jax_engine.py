@@ -255,7 +255,26 @@ _BREAKOUT = dict(
     minimal_to_full=np.array([0, 1, 3, 4], np.int32),  # NOOP FIRE RIGHT LEFT
 )
 
-_GAMES = {"Breakout-v5": _BREAKOUT}
+
+def _games():
+    from cleanba_tpu.envs.jax_games import BEAMRIDER, PONG, SPACE_INVADERS
+
+    return {
+        "Breakout-v5": _BREAKOUT,
+        "Pong-v5": PONG,
+        "SpaceInvaders-v5": SPACE_INVADERS,
+        "BeamRider-v5": BEAMRIDER,
+    }
+
+
+_GAMES = None
+
+
+def _get_games():
+    global _GAMES
+    if _GAMES is None:
+        _GAMES = _games()
+    return _GAMES
 
 
 # ---------------------------------------------------------------------------
@@ -293,10 +312,11 @@ class JaxAtariEnv:
         frame_stack: int = 4,
         frame_skip: int = 4,
     ):
-        if env_id not in _GAMES:
+        games = _get_games()
+        if env_id not in games:
             raise ValueError(f"unknown task for the JAX engine: {env_id!r}")
         self.env_id = env_id
-        self.game = _GAMES[env_id]
+        self.game = games[env_id]
         self.sticky_p = float(repeat_action_probability)
         self.episodic_life = bool(episodic_life)
         self.noop_max = int(noop_max)
@@ -499,7 +519,11 @@ class JaxCartPoleEnv:
         return ns, self._obs(ns), reward, reward, terminated, truncated, done
 
 
-JAX_TASKS = ("Breakout-v5", "CartPole-v1")
+JAX_TASKS = (
+    "Breakout-v5", "Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
+    "Bigfish-v0", "BigfishHard-v0", "Maze-v0", "MazeHard-v0",
+    "CartPole-v1",
+)
 
 
 def make_jax_env(env_id: str, protocol_opts: dict | None = None):
@@ -507,9 +531,16 @@ def make_jax_env(env_id: str, protocol_opts: dict | None = None):
 
     `protocol_opts` uses the same keys as `cleanba_tpu.envs.PROTOCOLS`
     entries (repeat_action_probability, episodic_life, noop_max,
-    full_action_space, reward_clip, max_episode_steps).
+    full_action_space, reward_clip, max_episode_steps). Procgen-family ids
+    ignore the Atari options (plain-make contract, like the C++ engine).
     """
     opts = dict(protocol_opts or {})
     if env_id == "CartPole-v1":
         return JaxCartPoleEnv(env_id, max_episode_steps=opts.get("max_episode_steps", 500))
+    if env_id.startswith(("Bigfish", "Maze")) and env_id.endswith("-v0"):
+        from cleanba_tpu.envs.jax_procgen import JaxBigfishEnv, JaxMazeEnv
+
+        hard = "Hard" in env_id
+        cls = JaxBigfishEnv if env_id.startswith("Bigfish") else JaxMazeEnv
+        return cls(env_id, hard=hard, max_episode_steps=1000)
     return JaxAtariEnv(env_id, **opts)

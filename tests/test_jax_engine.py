@@ -162,3 +162,77 @@ def test_vmapped_batch_step():
     assert r.shape == (4,) and term.shape == (4,)
     # different env keys -> independent sticky/launch streams, same reset frame
     assert np.array_equal(np.asarray(obs[0]), np.asarray(obs[1]))
+
+
+def test_spaceinvaders_beamrider_reset_frames_match_cpp_engine():
+    if not _native_available():
+        pytest.skip("native engine not built")
+    for env_id in ["SpaceInvaders-v5", "BeamRider-v5"]:
+        jenv = make_jax_env(env_id, PROTOCOLS["machado"])
+        _, obs = jenv.reset(jax.random.PRNGKey(0))
+        cenv = make_env(env_id, seed=0, num_envs=1)()
+        cobs, _ = cenv.reset()
+        cenv.close()
+        assert np.array_equal(np.asarray(obs), cobs[0]), f"{env_id} reset frame diverged"
+
+
+def test_pong_rallies_and_scores():
+    jenv = make_jax_env("Pong-v5", PROTOCOLS["machado"])
+    state, _ = jenv.reset(jax.random.PRNGKey(1))
+    step = jax.jit(jenv.step)
+    neg = 0
+    for i in range(600):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(0))
+        if float(r) < 0:
+            neg += 1
+        if neg >= 2:
+            break
+    assert neg >= 2, "CPU never scored against a NOOP player"
+    assert float(r) in (-1.0, 0.0, 1.0)  # Pong rewards are per-point
+
+
+def test_spaceinvaders_kills_score_by_row():
+    jenv = make_jax_env("SpaceInvaders-v5", PROTOCOLS["machado"])
+    state, _ = jenv.reset(jax.random.PRNGKey(2))
+    step = jax.jit(jenv.step)
+    raw = 0.0
+    for i in range(400):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(1))
+        raw += float(rr)
+        if raw > 0:
+            break
+    assert raw in (5.0, 10.0, 20.0, 30.0)
+    assert float(r) == 1.0  # clipped
+
+
+def test_beamrider_saucer_kill():
+    jenv = make_jax_env("BeamRider-v5", PROTOCOLS["machado"])
+    state, _ = jenv.reset(jax.random.PRNGKey(3))
+    step = jax.jit(jenv.step)
+    raw = 0.0
+    for i in range(1000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(1))
+        raw += float(rr)
+        if raw > 0:
+            break
+    assert raw == 44.0
+
+
+def test_jax_procgen_contract():
+    for env_id in ["Bigfish-v0", "Maze-v0"]:
+        rng = np.random.default_rng(0)  # fresh action stream per env
+        jenv = make_jax_env(env_id)
+        state, obs = jenv.reset(jax.random.PRNGKey(4))
+        assert obs.shape == (64, 64, 3) and obs.dtype == jnp.uint8
+        assert jenv.num_actions == 15
+        step = jax.jit(jenv.step)
+        saw_term, total = False, 0.0
+        for i in range(4000):
+            state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 15))))
+            total += float(rr)
+            if bool(term):
+                saw_term = True
+            if saw_term and total > 0:
+                break
+        assert saw_term, f"{env_id}: no episode ever terminated"
+        assert total > 0, f"{env_id}: no reward under a random walk"
