@@ -79,3 +79,41 @@ def test_train_entrypoint_smoke(eight_cpu_devices, tmp_path):
     params, stats = anakin.train(cfg)
     assert stats["global_step"] == 2048
     assert jax.tree.leaves(params)
+
+
+def test_impala_anakin_cartpole_learns(eight_cpu_devices, tmp_path):
+    from cleanba_tpu import train_impala_anakin as ia
+    from cleanba_tpu.config import ImpalaConfig
+
+    cfg = ImpalaConfig(
+        env_id="CartPole-v1", network="mlp", total_timesteps=32 * 20 * 10,
+        local_num_envs=32, num_actor_threads=1, num_minibatches=4,
+        log_frequency=5, run_dir=str(tmp_path), seed=2,
+    )
+    cfg.resolve()
+    params, stats = ia.train(cfg)
+    assert stats["global_step"] == 32 * 20 * 10
+    assert np.isfinite(stats["loss"])
+    assert stats["avg_episodic_return"] > 15.0  # random policy baseline ~9
+
+
+def test_impala_anakin_bootstrap_row_carries(eight_cpu_devices):
+    """The first storage row of update N+1 must be the last row of update N
+    (reference carry, cleanba_impala.py:415-416) — checked via determinism:
+    two runs with the same seed produce identical params."""
+    from cleanba_tpu import train_impala_anakin as ia
+    from cleanba_tpu.config import ImpalaConfig
+
+    def run():
+        cfg = ImpalaConfig(
+            env_id="CartPole-v1", network="mlp", total_timesteps=16 * 20 * 3,
+            local_num_envs=16, num_actor_threads=1, num_minibatches=2,
+            log_frequency=100, run_dir="/tmp/ia_det", seed=11,
+        )
+        cfg.resolve()
+        params, stats = ia.train(cfg)
+        return np.asarray(jax.tree.leaves(params)[0]), stats["loss"] if "loss" in stats else 0.0
+
+    p1, _ = run()
+    p2, _ = run()
+    np.testing.assert_array_equal(p1, p2)
