@@ -135,7 +135,8 @@ class CommonConfig:
     global_learner_devices: Optional[List[str]] = field(default=None, metadata={"cli": False})
     actor_devices: Optional[List[str]] = field(default=None, metadata={"cli": False})
     learner_devices: Optional[List[str]] = field(default=None, metadata={"cli": False})
-    run_name: str = field(default="", metadata={"cli": False})
+    run_name: str = ""
+    "run directory name under --run-dir; defaults to env__exp__seed__time. Set it explicitly to make --resume find a previous run's checkpoints"
 
     # Subclasses set this; used for batch math below.
     num_steps: int = field(default=0, metadata={"cli": False})

@@ -38,7 +38,12 @@ from cleanba_tpu.runtime.agent import build_agent
 from cleanba_tpu.runtime.learner import ImpalaMetrics, current_learning_rate
 from cleanba_tpu.runtime.train_state import TrainState
 from cleanba_tpu.train_ppo_anakin import AXIS, EpisodeStatsState
-from cleanba_tpu.utils.checkpoint import save_model
+from cleanba_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+    save_model,
+)
 from cleanba_tpu.utils.cli import parse_cli
 from cleanba_tpu.utils.metrics import make_writer
 
@@ -254,23 +259,39 @@ def train(cfg: ImpalaConfig, devices=None, writer=None):
     train_step, sample_step = build_train_step(cfg, env, mesh, agent, n_envs)
     carry = make_impala_anakin_state(cfg, env, mesh, agent, key, sample_step)
 
+    start_update, global_step = 1, 0
+    if cfg.resume:
+        ckpt = latest_checkpoint(cfg.run_path)
+        if ckpt:
+            agent_state, start_update, global_step = restore_checkpoint(
+                ckpt, carry.agent_state
+            )
+            rep = jax.sharding.NamedSharding(mesh, P())
+            carry = carry._replace(agent_state=jax.device_put(agent_state, rep))
+            start_update += 1
+            print(f"resumed from {ckpt} (update {start_update - 1}, step {global_step})")
+
     own_writer = writer is None
     if own_writer:
         writer = make_writer(cfg, is_primary=True)
 
     steps_per_update = n_envs * cfg.num_steps
-    global_step = 0
     start = time.time()
+    run_steps = 0
     last_metrics = None
-    for update in range(1, cfg.num_updates + 1):
+    for update in range(start_update, cfg.num_updates + 1):
         carry, metrics, charts = train_step(carry)
         global_step += steps_per_update
+        run_steps += steps_per_update
+        if cfg.checkpoint_frequency > 0 and update % cfg.checkpoint_frequency == 0:
+            host_state = jax.device_get(carry.agent_state)
+            save_checkpoint(cfg.run_path, host_state, update, global_step)
         if update % cfg.log_frequency == 0:
             loss, pg, v, ent = jax.device_get(
                 (metrics.loss, metrics.pg_loss, metrics.v_loss, metrics.entropy_loss)
             )
             avg_ret, avg_len = jax.device_get(charts)
-            sps = int(global_step / max(time.time() - start, 1e-9))
+            sps = int(run_steps / max(time.time() - start, 1e-9))
             print(f"global_step={global_step}, avg_episodic_return={avg_ret:.2f}, SPS={sps}")
             writer.add_scalar("charts/avg_episodic_return", float(avg_ret), global_step)
             writer.add_scalar("charts/avg_episodic_length", float(avg_len), global_step)
@@ -286,16 +307,13 @@ def train(cfg: ImpalaConfig, devices=None, writer=None):
     params = jax.device_get(carry.agent_state.params)
     stats = dict(
         global_step=global_step,
-        sps=int(global_step / max(time.time() - start, 1e-9)),
+        sps=int(run_steps / max(time.time() - start, 1e-9)),
         **(last_metrics or {}),
     )
     if cfg.save_model:
-        import os
+        from cleanba_tpu.train_ppo_anakin import _save_eval_publish
 
-        os.makedirs(cfg.run_path, exist_ok=True)
-        model_path = os.path.join(cfg.run_path, f"{cfg.exp_name}.cleanba_model")
-        save_model(model_path, cfg.asdict(), params)
-        print(f"model saved to {model_path}")
+        _save_eval_publish(cfg, params, writer, algo="IMPALA")
     if own_writer:
         writer.close()
     return params, stats

@@ -117,3 +117,26 @@ def test_impala_anakin_bootstrap_row_carries(eight_cpu_devices):
     p1, _ = run()
     p2, _ = run()
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_anakin_checkpoint_resume(eight_cpu_devices, tmp_path):
+    """Interrupt after N updates, resume, and land on the same num_updates."""
+    from cleanba_tpu.config import PPOConfig
+
+    def cfg_for(total):
+        cfg = PPOConfig(
+            env_id="CartPole-v1", network="mlp", total_timesteps=total,
+            local_num_envs=16, num_actor_threads=1, num_steps=16,
+            num_minibatches=2, update_epochs=1, log_frequency=100,
+            checkpoint_frequency=2, resume=True,
+            run_dir=str(tmp_path), seed=5, run_name="resume_test",
+        )
+        cfg.resolve()
+        return cfg
+
+    # Phase 1: 4 updates (1024 steps), checkpoints at update 2 and 4.
+    params1, stats1 = anakin.train(cfg_for(16 * 16 * 4))
+    assert stats1["global_step"] == 1024
+    # Phase 2: same run dir, target 8 updates total -> resumes from update 4.
+    params2, stats2 = anakin.train(cfg_for(16 * 16 * 8))
+    assert stats2["global_step"] == 2048  # 4 restored + 4 new updates
