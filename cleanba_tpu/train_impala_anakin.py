@@ -199,7 +199,7 @@ def build_train_step(cfg, env, mesh, agent, n_local_envs: int):
 def make_impala_anakin_state(cfg, env, mesh, agent, key: jax.Array,
                              sample_step) -> ImpalaCarry:
     n_dev = mesh.devices.size
-    n_envs = cfg.local_num_envs * cfg.num_actor_threads
+    n_envs = cfg.local_num_envs * cfg.num_actor_threads * max(cfg.world_size, 1)
     assert n_envs % n_dev == 0
     env_sharding = jax.sharding.NamedSharding(mesh, P(AXIS))
     rep = jax.sharding.NamedSharding(mesh, P())
@@ -237,7 +237,8 @@ def make_impala_anakin_state(cfg, env, mesh, agent, key: jax.Array,
 
 
 def train(cfg: ImpalaConfig, devices=None, writer=None):
-    devices = devices if devices is not None else jax.local_devices()
+    if devices is None:
+        devices = jax.devices() if cfg.distributed else jax.local_devices()
     mesh = jax.sharding.Mesh(np.array(devices), (AXIS,))
 
     random.seed(cfg.seed)
@@ -255,7 +256,7 @@ def train(cfg: ImpalaConfig, devices=None, writer=None):
         compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
     )
 
-    n_envs = cfg.local_num_envs * cfg.num_actor_threads
+    n_envs = cfg.local_num_envs * cfg.num_actor_threads * max(cfg.world_size, 1)
     train_step, sample_step = build_train_step(cfg, env, mesh, agent, n_envs)
     carry = make_impala_anakin_state(cfg, env, mesh, agent, key, sample_step)
 
@@ -320,9 +321,12 @@ def train(cfg: ImpalaConfig, devices=None, writer=None):
 
 
 def main(argv=None):
+    from cleanba_tpu.parallel.topology import maybe_init_distributed
+
     cfg = parse_cli(ImpalaConfig, argv,
                     description="Anakin IMPALA: on-device envs + V-trace, one XLA program per update")
-    cfg.resolve()
+    maybe_init_distributed(cfg)
+    cfg.resolve(world_size=jax.process_count(), local_rank=jax.process_index())
     return train(cfg)
 
 

@@ -222,9 +222,13 @@ def build_train_step(cfg, env, mesh, agent, n_local_envs: int):
 
 
 def make_anakin_state(cfg, env, mesh, agent, key: jax.Array) -> AnakinCarry:
-    """Build the initial device-sharded carry (env resets + TrainState)."""
+    """Build the initial device-sharded carry (env resets + TrainState).
+
+    Multi-host: every process builds the same global program; env keys are
+    seeded identically everywhere, so device_put simply places each
+    process's shard of the global env batch."""
     n_dev = mesh.devices.size
-    n_envs = cfg.local_num_envs * cfg.num_actor_threads
+    n_envs = cfg.local_num_envs * cfg.num_actor_threads * max(cfg.world_size, 1)
     assert n_envs % n_dev == 0, (
         f"total envs {n_envs} must divide over {n_dev} mesh devices"
     )
@@ -251,8 +255,14 @@ def make_anakin_state(cfg, env, mesh, agent, key: jax.Array) -> AnakinCarry:
 
 
 def train(cfg: PPOConfig, devices=None, writer=None):
-    """Run Anakin PPO; returns (final TrainState params, stats dict)."""
-    devices = devices if devices is not None else jax.local_devices()
+    """Run Anakin PPO; returns (final TrainState params, stats dict).
+
+    Multi-host: with --distributed the mesh spans every chip of every
+    process (jax.devices()); per-process env counts stay `local_num_envs *
+    num_actor_threads` and the gradient pmean crosses hosts over ICI/DCN
+    (validated by the 2-process fixture in tests/test_distributed.py)."""
+    if devices is None:
+        devices = jax.devices() if cfg.distributed else jax.local_devices()
     mesh = jax.sharding.Mesh(np.array(devices), (AXIS,))
 
     random.seed(cfg.seed)
@@ -268,7 +278,7 @@ def train(cfg: PPOConfig, devices=None, writer=None):
         compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
     )
 
-    n_envs = cfg.local_num_envs * cfg.num_actor_threads
+    n_envs = cfg.local_num_envs * cfg.num_actor_threads * max(cfg.world_size, 1)
     train_step = build_train_step(cfg, env, mesh, agent, n_envs)
     carry = make_anakin_state(cfg, env, mesh, agent, key)
 
@@ -368,8 +378,11 @@ def _save_eval_publish(cfg, params, writer, algo: str):
 
 
 def main(argv=None):
+    from cleanba_tpu.parallel.topology import maybe_init_distributed
+
     cfg = parse_cli(PPOConfig, argv, description="Anakin PPO: on-device envs, one XLA program per update")
-    cfg.resolve()
+    maybe_init_distributed(cfg)
+    cfg.resolve(world_size=jax.process_count(), local_rank=jax.process_index())
     return train(cfg)
 
 

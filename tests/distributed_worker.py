@@ -88,6 +88,31 @@ def main():
     params_host = jax.device_get(jax.tree.map(lambda x: x, state.params))
     checksum = float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree.leaves(params_host)))
     print(f"CHECKSUM {process_id} {checksum:.6f}", flush=True)
+
+    # --- Phase 2: Anakin train step over the cross-process global mesh ------
+    # (on-device envs; rollout + update in one program spanning both
+    # processes, grads pmean'd across the process boundary).
+    from cleanba_tpu import train_ppo_anakin as anakin
+
+    acfg = PPOConfig(
+        env_id="CartPole-v1", network="mlp", hiddens=[16],
+        local_num_envs=8, num_actor_threads=1, num_steps=8,
+        num_minibatches=2, update_epochs=1, total_timesteps=8 * 8 * 2,
+    )
+    acfg.resolve()
+    global_mesh = jax.sharding.Mesh(np.array(jax.devices()), (anakin.AXIS,))
+    aagent = build_agent(acfg, 2, np.zeros((1, 4), np.float32), jax.random.PRNGKey(1))
+    astep = anakin.build_train_step(acfg, anakin.make_jax_env("CartPole-v1", {}),
+                                    global_mesh, aagent, 8)
+    acarry = anakin.make_anakin_state(
+        acfg, anakin.make_jax_env("CartPole-v1", {}), global_mesh, aagent,
+        jax.random.PRNGKey(2),
+    )
+    for _ in range(2):
+        acarry, ametrics, acharts = astep(acarry)
+    aparams = jax.device_get(acarry.agent_state.params)
+    asum = float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree.leaves(aparams)))
+    print(f"ANAKIN_CHECKSUM {process_id} {asum:.6f}", flush=True)
     jax.distributed.shutdown()
 
 

@@ -51,11 +51,18 @@ def test_two_process_learner_mesh():
         assert p.returncode == 0, f"worker failed: {err[-3000:]}"
         outs.append(out)
 
-    checksums = {}
+    checksums, anakin_checksums = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("CHECKSUM"):
                 _, pid, val = line.split()
                 checksums[int(pid)] = float(val)
+            if line.startswith("ANAKIN_CHECKSUM"):
+                _, pid, val = line.split()
+                anakin_checksums[int(pid)] = float(val)
     assert set(checksums) == {0, 1}, f"missing checksums: {outs}"
+    assert set(anakin_checksums) == {0, 1}, f"missing anakin checksums: {outs}"
+    assert anakin_checksums[0] == anakin_checksums[1], (
+        "anakin params diverged across processes"
+    )
     assert checksums[0] == pytest.approx(checksums[1], rel=1e-6), checksums
