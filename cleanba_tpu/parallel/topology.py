@@ -30,9 +30,20 @@ def maybe_init_distributed(cfg) -> None:
     On TPU VMs coordinator/rank/world-size auto-discover; the SLURM/TPU env-var
     fixtures the reference documents (README.md:68-72, tpu.sh:63-77) are
     honored by JAX's own cluster detection.
+
+    Bring-up runs under a heartbeat guard: if the gRPC coordinator rendezvous
+    wedges (a common multi-host failure mode the reference leaves to SLURM
+    timeouts), the process dumps all stacks and exits instead of hanging.
+    Tune with CLEANBA_BRINGUP_TIMEOUT (seconds, default 600).
     """
     if getattr(cfg, "distributed", False):
-        jax.distributed.initialize()
+        import os
+
+        from cleanba_tpu.utils.watchdog import heartbeat_guard
+
+        timeout = float(os.environ.get("CLEANBA_BRINGUP_TIMEOUT", "600"))
+        with heartbeat_guard(timeout):
+            jax.distributed.initialize()
 
 LEARNER_AXIS = "learner"
 
