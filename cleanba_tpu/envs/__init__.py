@@ -59,6 +59,25 @@ _STATE_TASKS = {"CartPole-v1"}
 # Procgen-family ids handled by the engine's procedural 64x64 RGB tasks.
 _PROCGEN_PREFIXES = ("Bigfish", "Maze")
 
+# Task ids the from-scratch engines (csrc/ + jax_engine) implement. Ids
+# outside this set route to the EnvPool backend under backend='auto'
+# (mirrors csrc/envs/factory.cc).
+NATIVE_ATARI_TASKS = (
+    "Breakout-v5", "Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
+)
+NATIVE_PROCGEN_TASKS = (
+    "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",
+    "Maze-v0", "MazeEasy-v0", "MazeHard-v0",
+)
+
+
+def _native_has_task(env_id: str) -> bool:
+    return (
+        env_id in _STATE_TASKS
+        or env_id in NATIVE_ATARI_TASKS
+        or env_id in NATIVE_PROCGEN_TASKS
+    )
+
 
 def is_procgen_task(env_id: str) -> bool:
     return env_id.endswith("-v0") and env_id.startswith(_PROCGEN_PREFIXES)
@@ -98,12 +117,34 @@ def make_env(
             )
         if backend == "python":
             raise ValueError(f"{env_id!r} requires the native engine (backend='python' given)")
-        from cleanba_tpu.envs.native import NativeBatchedEnv
-
         # Procgen tasks always use the plain-make protocol regardless of the
         # configured Atari preset (the reference's procgen script has no
         # protocol flags at all).
-        opts = dict(PROTOCOLS["procgen" if is_procgen_task(env_id) else protocol])
+        # Any -v0 id is procgen-family (native or EnvPool's <Game>{Easy,Hard}-v0).
+        opts = dict(PROTOCOLS["procgen" if env_id.endswith("-v0") else protocol])
+        if backend == "envpool" or (backend == "auto" and not _native_has_task(env_id)):
+            # Real EnvPool: full Atari-57/Procgen-16 catalog (reference
+            # make_env, cleanba_ppo.py:126-146) behind the same BatchedEnv
+            # protocol as the native engine.
+            from cleanba_tpu.envs.envpool_backend import (
+                EnvPoolBatchedEnv,
+                envpool_available,
+            )
+
+            if not envpool_available():
+                hint = (
+                    "envpool is not installed"
+                    if backend == "envpool"
+                    else f"{env_id!r} is not a native-engine task and envpool is not installed"
+                )
+                raise ValueError(f"cannot build {env_id!r}: {hint}")
+            return EnvPoolBatchedEnv(
+                env_id, num_envs=num_envs, batch_size=async_batch_size,
+                num_threads=num_threads, seed=seed,
+                frame_stack=frame_stack if frame_stack > 0 else 4, **opts,
+            )
+        from cleanba_tpu.envs.native import NativeBatchedEnv
+
         if frame_stack > 0:
             opts["frame_stack"] = frame_stack
         return NativeBatchedEnv(
