@@ -258,12 +258,17 @@ _BREAKOUT = dict(
 
 def _games():
     from cleanba_tpu.envs.jax_games import BEAMRIDER, PONG, SPACE_INVADERS
+    from cleanba_tpu.envs.jax_games_extra import BOXING, FREEWAY, QBERT, SEAQUEST
 
     return {
         "Breakout-v5": _BREAKOUT,
         "Pong-v5": PONG,
         "SpaceInvaders-v5": SPACE_INVADERS,
         "BeamRider-v5": BEAMRIDER,
+        "Freeway-v5": FREEWAY,
+        "Boxing-v5": BOXING,
+        "Seaquest-v5": SEAQUEST,
+        "Qbert-v5": QBERT,
     }
 
 
@@ -521,6 +526,7 @@ class JaxCartPoleEnv:
 
 JAX_TASKS = (
     "Breakout-v5", "Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
+    "Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
     "Bigfish-v0", "BigfishHard-v0", "Maze-v0", "MazeHard-v0",
     "CartPole-v1",
 )

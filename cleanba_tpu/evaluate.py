@@ -1,10 +1,14 @@
 """Post-training evaluation harness (reference
-cleanrl_utils/evals/ppo_envpool_jax_eval.py:13-82).
+cleanrl_utils/evals/ppo_envpool_jax_eval.py:13-82 and its procgen twin
+cleanba_ppo_envpool_procgen_eval.py — one function here serves both: the env
+factory already applies the procgen protocol to -v0 ids, and video capture is
+color-aware).
 
 Rebuilds the model from the saved final-model file, runs `eval_episodes`
 episodes on a single env with on-device Gumbel sampling, and optionally writes
 an mp4 via OpenCV (moviepy is not available in this environment; cv2's
-VideoWriter replaces it).
+VideoWriter replaces it). Atari obs ([84,84,stack] grayscale) render the
+newest frame; procgen obs ([64,64,3]) render in RGB.
 """
 
 from __future__ import annotations
@@ -56,8 +60,11 @@ def evaluate(
         prev_a = (np.asarray(action) * (1.0 - first)).astype(np.int32)
         prev_r = (np.asarray(reward) * (1.0 - first)).astype(np.float32)
         episode_return += float(info["reward"][0])
-        if capture_video and len(episodic_returns) == 0 and next_obs.ndim == 4:
-            frames.append(next_obs[0, :, :, -1])
+        if capture_video and next_obs.ndim == 4:
+            if next_obs.shape[-1] == 3:   # procgen-family RGB observation
+                frames.append(next_obs[0])
+            else:                          # Atari stack: newest grayscale frame
+                frames.append(next_obs[0, :, :, -1])
         if terminated[0] or truncated[0]:
             episodic_returns.append(episode_return)
             print(f"eval_episode={len(episodic_returns)}, episodic_return={episode_return}")
@@ -70,16 +77,21 @@ def evaluate(
 
 
 def _write_video(frames: List[np.ndarray], path: str, fps: int = 30, scale: int = 4) -> Optional[str]:
+    """Write grayscale [H, W] or RGB [H, W, 3] frames (reference procgen eval
+    captures RGB, cleanba_ppo_envpool_procgen_eval.py; Atari eval grayscale)."""
     try:
         import cv2
     except ImportError:
         return None
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    h, w = frames[0].shape
+    color = frames[0].ndim == 3
+    h, w = frames[0].shape[:2]
     writer = cv2.VideoWriter(
-        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w * scale, h * scale), isColor=False
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w * scale, h * scale), isColor=color
     )
     for f in frames:
+        if color:
+            f = cv2.cvtColor(f, cv2.COLOR_RGB2BGR)
         writer.write(cv2.resize(f, (w * scale, h * scale), interpolation=cv2.INTER_NEAREST))
     writer.release()
     return path

@@ -24,6 +24,10 @@ ATARI_SCORES: Dict[str, tuple] = {
     "Pong-v5": (-20.7, 14.6),
     "SpaceInvaders-v5": (148.0, 1668.7),
     "BeamRider-v5": (363.9, 16926.5),
+    "Freeway-v5": (0.0, 29.6),
+    "Boxing-v5": (0.1, 12.1),
+    "Seaquest-v5": (68.4, 42054.7),
+    "Qbert-v5": (163.9, 13455.0),
 }
 
 

@@ -13,6 +13,10 @@ std::unique_ptr<Game> make_breakout_game();
 std::unique_ptr<Game> make_pong_game();
 std::unique_ptr<Game> make_space_invaders_game();
 std::unique_ptr<Game> make_beamrider_game();
+std::unique_ptr<Game> make_freeway_game();
+std::unique_ptr<Game> make_boxing_game();
+std::unique_ptr<Game> make_seaquest_game();
+std::unique_ptr<Game> make_qbert_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 
@@ -23,6 +27,10 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Pong-v5") return make_pong_game();
   if (task == "SpaceInvaders-v5") return make_space_invaders_game();
   if (task == "BeamRider-v5") return make_beamrider_game();
+  if (task == "Freeway-v5") return make_freeway_game();
+  if (task == "Boxing-v5") return make_boxing_game();
+  if (task == "Seaquest-v5") return make_seaquest_game();
+  if (task == "Qbert-v5") return make_qbert_game();
   return nullptr;
 }
 

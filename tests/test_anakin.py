@@ -140,3 +140,15 @@ def test_anakin_checkpoint_resume(eight_cpu_devices, tmp_path):
     # Phase 2: same run dir, target 8 updates total -> resumes from update 4.
     params2, stats2 = anakin.train(cfg_for(16 * 16 * 8))
     assert stats2["global_step"] == 2048  # 4 restored + 4 new updates
+
+
+import pytest
+
+
+@pytest.mark.parametrize("env_id", ["Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5"])
+def test_new_games_train_step_on_mesh(eight_cpu_devices, env_id):
+    """Every second-wave game runs through the full sharded Anakin update."""
+    cfg, step, carry = _setup(env_id, "impala_cnn", n_envs=16, num_steps=4)
+    carry, metrics, charts = step(carry)
+    assert np.isfinite(float(metrics.loss))
+    assert len(carry.obs.sharding.device_set) == 8

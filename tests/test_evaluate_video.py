@@ -1,0 +1,64 @@
+"""Eval video capture: RGB for procgen obs, grayscale for Atari stacks
+(reference cleanrl_utils/evals/cleanba_ppo_envpool_procgen_eval.py vs
+ppo_envpool_jax_eval.py — one color-aware writer here serves both)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cleanba_tpu.evaluate import _write_video
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_write_video_grayscale(tmp_path):
+    frames = [np.full((84, 84), i * 10, np.uint8) for i in range(8)]
+    path = _write_video(frames, str(tmp_path / "g" / "eval.mp4"))
+    assert path and os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_write_video_rgb(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(8)]
+    path = _write_video(frames, str(tmp_path / "c" / "eval.mp4"))
+    assert path and os.path.exists(path) and os.path.getsize(path) > 0
+    cap = cv2.VideoCapture(path)
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape == (64 * 4, 64 * 4, 3)
+
+
+def test_procgen_eval_captures_rgb(tmp_path, monkeypatch):
+    """End-to-end: evaluating a procgen task with capture_video writes a
+    color mp4 from the raw 64x64x3 observations."""
+    import jax
+
+    from cleanba_tpu.config import PPOConfig
+    from cleanba_tpu.evaluate import evaluate
+    from cleanba_tpu.runtime.agent import build_agent
+    from cleanba_tpu.utils.checkpoint import save_model
+
+    try:
+        from cleanba_tpu.envs.native import native_available
+
+        if not native_available():
+            pytest.skip("native engine not built")
+    except Exception:
+        pytest.skip("native engine not built")
+
+    cfg = PPOConfig(env_id="Bigfish-v0", network="impala_cnn")
+    cfg.resolve()
+    agent = build_agent(cfg, 15, np.zeros((1, 64, 64, 3), np.uint8), jax.random.PRNGKey(0))
+    model_path = str(tmp_path / "m.cleanba_model")
+    save_model(model_path, cfg.asdict(), agent.init_params)
+    monkeypatch.chdir(tmp_path)
+    returns = evaluate(model_path, "Bigfish-v0", 1, "pg-eval", cfg,
+                       capture_video=True, seed=3)
+    assert len(returns) == 1
+    video = tmp_path / "videos" / "pg-eval" / "eval.mp4"
+    assert video.exists() and video.stat().st_size > 0
+    cap = cv2.VideoCapture(str(video))
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape[2] == 3

@@ -236,3 +236,144 @@ def test_jax_procgen_contract():
                 break
         assert saw_term, f"{env_id}: no episode ever terminated"
         assert total > 0, f"{env_id}: no reward under a random walk"
+
+
+# ---------------------------------------------------------------------------
+# Second-wave games (Freeway, Boxing, Seaquest, Qbert) — cross-engine parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("task", ["Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5"])
+def test_new_games_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+def test_freeway_full_trajectory_matches_cpp_engine():
+    """Freeway consumes no RNG at all, so with sticky=0 the two engines must
+    agree frame-for-frame and reward-for-reward on ANY action sequence."""
+    if not _native_available():
+        pytest.skip("native engine not built")
+    from cleanba_tpu.envs.native import NativeBatchedEnv
+
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Freeway-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    cenv = NativeBatchedEnv("Freeway-v5", num_envs=1, seed=0,
+                            repeat_action_probability=0.0)
+    cenv.reset()
+    step = jax.jit(jenv.step)
+    rng = np.random.default_rng(1)
+    for t in range(200):
+        a = int(rng.integers(0, 18))
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(a))
+        cobs, crew, cterm, ctrunc, cinfo = cenv.step(np.full(1, a, np.int32))
+        assert np.array_equal(np.asarray(obs), cobs[0]), f"frame diverged at step {t}"
+        assert float(r) == float(crew[0])
+    cenv.close()
+
+
+def test_freeway_crossing_scores():
+    """UP-spam must eventually cross all ten lanes for +1."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Freeway-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    for _ in range(150):
+        state, obs, r, *_ = step(state, jnp.int32(2))  # UP
+        total += float(r)
+    assert total >= 1.0, "no crossing scored under UP-spam"
+
+
+def test_boxing_punch_scores_and_cpu_counters():
+    """Walking into range and punching yields +1s; the CPU lands its own."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Boxing-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(3))
+    step = jax.jit(jenv.step)
+    pos, neg = 0.0, 0.0
+    for _ in range(120):
+        state, obs, r, raw, *_ = step(state, jnp.int32(11))  # RIGHTFIRE
+        raw = float(raw)
+        pos += max(raw, 0.0)
+        neg += min(raw, 0.0)
+    assert pos >= 1.0, "player never landed a punch"
+    assert neg <= -1.0, "CPU never landed a punch"
+
+
+def test_seaquest_torpedo_kill_scores_20():
+    """A crafted enemy directly ahead dies to the first torpedo for +20."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Seaquest-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    core = state.core
+    core = core.replace(
+        e_live=core.e_live.at[0].set(True),
+        e_x=core.e_x.at[0].set(60.0),
+        e_y=core.e_y.at[0].set(13.0),
+        e_dir=core.e_dir.at[0].set(-1.0),
+        e_speed=core.e_speed.at[0].set(0.6),
+    )
+    state = state.replace(core=core)
+    step = jax.jit(jenv.step)
+    total_raw = 0.0
+    for _ in range(3):
+        state, obs, r, raw, *_ = step(state, jnp.int32(1))  # FIRE
+        total_raw += float(raw)
+    assert total_raw == 20.0, f"expected one +20 kill, got {total_raw}"
+
+
+def test_seaquest_oxygen_suffocation_ends_episode():
+    """Holding DOWN drains 3 lives of oxygen and terminates."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    opts["max_episode_steps"] = 10000
+    jenv = make_jax_env("Seaquest-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    term = False
+    for t in range(1200):
+        state, obs, r, raw, term, trunc, first = step(state, jnp.int32(5))  # DOWN
+        if bool(term):
+            break
+    # 3 lives x 1024 frames of oxygen ~= 800 agent steps underwater.
+    assert bool(term), "3 lives of oxygen never ran out"
+
+
+def test_qbert_first_hop_scores_25():
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Qbert-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    # DOWN = down-left hop onto an uncolored cube (8 raw frames = 2 agent steps).
+    for _ in range(4):
+        state, obs, r, raw, *_ = step(state, jnp.int32(5))
+        total += float(raw)
+    assert total == 25.0, f"expected one +25 first-visit, got {total}"
+
+
+def test_qbert_fall_costs_life_and_respawns_at_top():
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Qbert-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    # UP from the apex hops off the pyramid.
+    for _ in range(4):
+        state, obs, r, raw, term, trunc, first = step(state, jnp.int32(2))
+    assert int(state.core.lives) == 2
+    assert int(state.core.pr) == 0 and int(state.core.pc) == 0
+    assert not bool(term)
