@@ -60,8 +60,11 @@ def parse_args(argv=None) -> BenchArgs:
     return BenchArgs(**vars(ns))
 
 
-def autotag() -> str:
-    """git-describe tag for wandb grouping (reference benchmark.py:50-74)."""
+def autotag(github_repo: str = "") -> str:
+    """git-describe tag plus the GitHub PR number of HEAD, for wandb run
+    grouping (reference cleanrl_utils/benchmark.py:50-74). The PR lookup hits
+    the GitHub search API for `github_repo` (or $CLEANBA_GITHUB_REPO) and
+    degrades silently offline."""
     wandb_tag = ""
     try:
         git_tag = subprocess.check_output(
@@ -69,7 +72,29 @@ def autotag() -> str:
         ).decode().strip()
         wandb_tag = git_tag
     except (subprocess.CalledProcessError, FileNotFoundError):
-        pass
+        return wandb_tag
+
+    repo = github_repo or os.environ.get("CLEANBA_GITHUB_REPO", "")
+    if not repo:
+        return wandb_tag
+    try:
+        git_commit = subprocess.check_output(
+            ["git", "rev-parse", "--verify", "HEAD"], stderr=subprocess.DEVNULL
+        ).decode().strip()
+        import requests
+
+        resp = requests.get(
+            f"https://api.github.com/search/issues?q=repo:{repo}+is:pr+{git_commit}",
+            timeout=10,
+        )
+        if resp.status_code == 200:
+            items = resp.json().get("items", [])
+            if items:
+                pr_number = items[0]["number"]
+                wandb_tag += f",pr-{pr_number}"
+                print(f"identified github pull request: {pr_number}")
+    except Exception as e:  # offline / rate-limited / no requests: tag-only
+        print(f"autotag PR lookup skipped: {e}")
     return wandb_tag
 
 
