@@ -57,7 +57,7 @@ PROTOCOLS = {
 _STATE_TASKS = {"CartPole-v1"}
 
 # Procgen-family ids handled by the engine's procedural 64x64 RGB tasks.
-_PROCGEN_PREFIXES = ("Bigfish", "Maze")
+_PROCGEN_PREFIXES = ("Bigfish", "Maze", "Leaper", "Chaser")
 
 # Task ids the from-scratch engines (csrc/ + jax_engine) implement. Ids
 # outside this set route to the EnvPool backend under backend='auto'
@@ -69,6 +69,8 @@ NATIVE_ATARI_TASKS = (
 NATIVE_PROCGEN_TASKS = (
     "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",
     "Maze-v0", "MazeEasy-v0", "MazeHard-v0",
+    "Leaper-v0", "LeaperEasy-v0", "LeaperHard-v0",
+    "Chaser-v0", "ChaserEasy-v0", "ChaserHard-v0",
 )
 
 

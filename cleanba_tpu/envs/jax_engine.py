@@ -528,6 +528,7 @@ JAX_TASKS = (
     "Breakout-v5", "Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
     "Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
     "Bigfish-v0", "BigfishHard-v0", "Maze-v0", "MazeHard-v0",
+    "Leaper-v0", "LeaperHard-v0", "Chaser-v0", "ChaserHard-v0",
     "CartPole-v1",
 )
 
@@ -543,10 +544,14 @@ def make_jax_env(env_id: str, protocol_opts: dict | None = None):
     opts = dict(protocol_opts or {})
     if env_id == "CartPole-v1":
         return JaxCartPoleEnv(env_id, max_episode_steps=opts.get("max_episode_steps", 500))
-    if env_id.startswith(("Bigfish", "Maze")) and env_id.endswith("-v0"):
+    if env_id.startswith(("Bigfish", "Maze", "Leaper", "Chaser")) and env_id.endswith("-v0"):
         from cleanba_tpu.envs.jax_procgen import JaxBigfishEnv, JaxMazeEnv
+        from cleanba_tpu.envs.jax_procgen_extra import JaxChaserEnv, JaxLeaperEnv
 
         hard = "Hard" in env_id
-        cls = JaxBigfishEnv if env_id.startswith("Bigfish") else JaxMazeEnv
+        cls = {
+            "Bigfish": JaxBigfishEnv, "Maze": JaxMazeEnv,
+            "Leaper": JaxLeaperEnv, "Chaser": JaxChaserEnv,
+        }[next(p for p in ("Bigfish", "Maze", "Leaper", "Chaser") if env_id.startswith(p))]
         return cls(env_id, hard=hard, max_episode_steps=1000)
     return JaxAtariEnv(env_id, **opts)

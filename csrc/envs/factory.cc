@@ -19,6 +19,8 @@ std::unique_ptr<Game> make_seaquest_game();
 std::unique_ptr<Game> make_qbert_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_chaser_env(const EnvOptions& opts, bool hard);
 
 namespace {
 
@@ -41,6 +43,10 @@ std::unique_ptr<Env> make_procgen(const std::string& task, const EnvOptions& opt
   if (task == "BigfishHard-v0") return make_bigfish_env(opts, true);
   if (task == "Maze-v0" || task == "MazeEasy-v0") return make_maze_env(opts, false);
   if (task == "MazeHard-v0") return make_maze_env(opts, true);
+  if (task == "Leaper-v0" || task == "LeaperEasy-v0") return make_leaper_env(opts, false);
+  if (task == "LeaperHard-v0") return make_leaper_env(opts, true);
+  if (task == "Chaser-v0" || task == "ChaserEasy-v0") return make_chaser_env(opts, false);
+  if (task == "ChaserHard-v0") return make_chaser_env(opts, true);
   return nullptr;
 }
 

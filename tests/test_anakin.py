@@ -145,7 +145,8 @@ def test_anakin_checkpoint_resume(eight_cpu_devices, tmp_path):
 import pytest
 
 
-@pytest.mark.parametrize("env_id", ["Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5"])
+@pytest.mark.parametrize("env_id", ["Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
+                                    "Leaper-v0", "ChaserHard-v0"])
 def test_new_games_train_step_on_mesh(eight_cpu_devices, env_id):
     """Every second-wave game runs through the full sharded Anakin update."""
     cfg, step, carry = _setup(env_id, "impala_cnn", n_envs=16, num_steps=4)

@@ -172,7 +172,7 @@ def test_other_games_spec_and_determinism(task):
 
 
 @needs_native
-@pytest.mark.parametrize("task", ["BigfishHard-v0", "Maze-v0"])
+@pytest.mark.parametrize("task", ["BigfishHard-v0", "Maze-v0", "Leaper-v0", "ChaserHard-v0"])
 def test_procgen_spec_and_determinism(task):
     # Procgen contract (reference legacy_scripts/cleanba_ppo_envpool_procgen.py
     # :115-130): plain make, 64x64x3 uint8 RGB obs, 15-action space, raw
@@ -240,3 +240,41 @@ def test_maze_solvable_and_pays_ten():
     env.close()
     assert solves >= 3, "random walkers never reached the cheese"
     assert total == 10.0 * solves
+
+
+@needs_native
+def test_leaper_crossing_pays_ten_and_deaths_end_episode():
+    """UP-spam from the start row either finishes (+10, terminated) or dies
+    (0, terminated) — both must end the episode; across seeds both outcomes
+    occur and only {0, 10} raw rewards exist."""
+    env = make_env("Leaper-v0", seed=21, num_envs=16)()
+    env.reset()
+    outcomes = set()
+    total = 0.0
+    for _ in range(600):
+        obs, rew, term, trunc, _ = env.step(np.full(16, 5, np.int32))  # UP
+        assert set(np.unique(rew)).issubset({0.0, 10.0})
+        total += float(rew.sum())
+        for r, t in zip(rew, term):
+            if t:
+                outcomes.add("win" if r > 0 else "death")
+    assert "death" in outcomes, "no leaper death observed"
+    assert total >= 10.0 or "win" in outcomes, "no crossing ever completed"
+    env.close()
+
+
+@needs_native
+def test_chaser_dots_score_and_enemies_catch():
+    """Dots pay +1 each under random play; enemy contact terminates without
+    the +10 clear bonus."""
+    env = make_env("ChaserHard-v0", seed=7, num_envs=8)()
+    env.reset()
+    rng = np.random.default_rng(1)
+    total, catches = 0.0, 0
+    for _ in range(1000):
+        obs, rew, term, trunc, _ = env.step(rng.integers(0, 15, 8).astype(np.int32))
+        total += float(rew.sum())
+        catches += int((term & (rew < 10)).sum())
+    assert total > 0, "no dots eaten"
+    assert catches > 0, "no enemy ever caught the player"
+    env.close()

@@ -219,7 +219,7 @@ def test_beamrider_saucer_kill():
 
 
 def test_jax_procgen_contract():
-    for env_id in ["Bigfish-v0", "Maze-v0"]:
+    for env_id in ["Bigfish-v0", "Maze-v0", "Chaser-v0"]:
         rng = np.random.default_rng(0)  # fresh action stream per env
         jenv = make_jax_env(env_id)
         state, obs = jenv.reset(jax.random.PRNGKey(4))
