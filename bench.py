@@ -1,18 +1,27 @@
-"""Headline benchmark: Breakout-v5 PPO env-steps/s on one TPU chip.
+"""Headline benchmark: Breakout-v5 env-steps/s on one TPU chip, all four
+trainer paths.
 
-Runs the flagship TPU-native path — the Anakin trainer
-(cleanba_tpu/train_ppo_anakin.py): on-device JAX envs, so the whole
-rollout -> GAE -> minibatch-epoch update compiles into one XLA program per
-update. Reference PPO hyperparameters (128 envs, T=128, 4 minibatches,
-4 epochs — the same batch of 16384 as cleanba_ppo.py defaults) with bf16
-conv compute (f32 params/optimizer).
+Headline metric (the JSON line's value): the flagship TPU-native path —
+**Anakin PPO** (cleanba_tpu/train_ppo_anakin.py): on-device JAX envs, so the
+whole rollout -> GAE -> minibatch-epoch update compiles into one XLA program
+per update. Reference PPO hyperparameters (128 envs, T=128, 4 minibatches,
+4 epochs — the same 16384 batch as cleanba_ppo.py defaults) with bf16 conv
+compute (f32 params/optimizer).
+
+Secondary metrics (the `secondary` dict in the same JSON line):
+- anakin_impala_sps — Anakin IMPALA/V-trace (T=20, RMSProp).
+- sebulba_ppo_sps / sebulba_impala_sps — the reference-parity architecture:
+  C++ envs on host CPUs, actor threads, maxsize-1 queues, shard_map learner.
+  On this tunneled single chip every env-step pays a ~27ms host<->device
+  round trip, so these are tunnel-penalized (BENCH notes in ARCHITECTURE.md);
+  on a real TPU VM the host-local dispatch removes that penalty.
 
 Baseline: the reference's 1xA100 full Breakout-v5 run — 50M env steps in
-154.079 min (README.md:104) = 5409 env-steps/s per chip. Learning quality is
-validated separately (tests + learning curves: return ~65 by 2M steps).
+154.079 min (README.md:104) = 5409 env-steps/s per chip.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": N/5409}
+  {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": N/5409,
+   "secondary": {...}}
 """
 
 from __future__ import annotations
@@ -24,7 +33,7 @@ import time
 BASELINE_SPS = 50_000_000 / (154.079 * 60)  # reference 1xA100 Breakout PPO
 
 
-def run_bench(num_updates: int = 10, warmup_updates: int = 2) -> dict:
+def bench_anakin_ppo(num_updates: int = 10, warmup_updates: int = 2) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -66,15 +75,110 @@ def run_bench(num_updates: int = 10, warmup_updates: int = 2) -> dict:
         carry, metrics, charts = train_step(carry)
         loss = float(metrics.loss)  # force completion on the remote chip
         times.append(time.time() - t0)
-        print(f"[bench] update {i + 1}: {times[-1]:.2f}s loss={loss:.3f} "
+        print(f"[bench:anakin_ppo] update {i + 1}: {times[-1]:.2f}s loss={loss:.3f} "
               f"ret={float(charts[0]):.2f}", file=sys.stderr, flush=True)
     steady = times[warmup_updates:]
-    sps = steps_per_update * len(steady) / sum(steady)
+    return steps_per_update * len(steady) / sum(steady)
+
+
+def bench_anakin_impala(num_updates: int = 40, warmup_updates: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cleanba_tpu import train_impala_anakin as anakin
+    from cleanba_tpu.config import ImpalaConfig
+    from cleanba_tpu.envs import PROTOCOLS
+    from cleanba_tpu.runtime.agent import build_agent
+
+    cfg = ImpalaConfig(
+        env_id="Breakout-v5",
+        local_num_envs=128,
+        num_actor_threads=1,
+        num_steps=20,
+        num_minibatches=4,
+        bf16=True,
+        log_frequency=10**9,
+        run_dir="/tmp/bench_runs",
+        total_timesteps=128 * 20 * num_updates,
+    )
+    cfg.resolve()
+
+    env = anakin.make_jax_env(cfg.env_id, dict(PROTOCOLS["machado"]))
+    from cleanba_tpu.train_ppo_anakin import AXIS
+
+    mesh = jax.sharding.Mesh(np.array(jax.local_devices()), (AXIS,))
+    key = jax.random.PRNGKey(cfg.seed)
+    agent = build_agent(
+        cfg, env.num_actions, np.zeros((1, 84, 84, 4), np.uint8), key,
+        compute_dtype=jnp.bfloat16,
+    )
+    n_envs = cfg.local_num_envs * cfg.num_actor_threads
+    train_step, sample_step = anakin.build_train_step(cfg, env, mesh, agent, n_envs)
+    carry = anakin.make_impala_anakin_state(cfg, env, mesh, agent, key, sample_step)
+
+    steps_per_update = n_envs * cfg.num_steps
+    times = []
+    for i in range(num_updates):
+        t0 = time.time()
+        carry, metrics, charts = train_step(carry)
+        loss = float(metrics.loss)
+        times.append(time.time() - t0)
+        if i < 3 or (i + 1) % 10 == 0:
+            print(f"[bench:anakin_impala] update {i + 1}: {times[-1]:.3f}s "
+                  f"loss={loss:.3f}", file=sys.stderr, flush=True)
+    steady = times[warmup_updates:]
+    return steps_per_update * len(steady) / sum(steady)
+
+
+def bench_sebulba(algo: str, num_updates: int = 12) -> float:
+    """End-to-end Sebulba trainer SPS (C++ envs + actor threads + shard_map
+    learner), measured inside the learner loop past the compile/warmup
+    updates. Tunnel-penalized on this host (see module docstring)."""
+    from cleanba_tpu.config import ImpalaConfig, PPOConfig
+    from cleanba_tpu.runtime.trainer import train
+
+    common = dict(
+        env_id="Breakout-v5",
+        local_num_envs=64,
+        num_actor_threads=2,
+        num_minibatches=4,
+        bf16=True,
+        concurrency=True,
+        log_frequency=10**9,
+        run_dir="/tmp/bench_runs",
+        env_backend="native",
+    )
+    if algo == "ppo":
+        cfg = PPOConfig(num_steps=128, update_epochs=4,
+                        total_timesteps=64 * 2 * 128 * num_updates, **common)
+    else:
+        cfg = ImpalaConfig(num_steps=20,
+                           total_timesteps=64 * 2 * 20 * max(num_updates, 30), **common)
+    stats = train(cfg)
+    print(f"[bench:sebulba_{algo}] {stats}", file=sys.stderr, flush=True)
+    return float(stats["sps"])
+
+
+def run_bench() -> dict:
+    sps = bench_anakin_ppo()
+    secondary = {}
+    for name, fn in (
+        ("anakin_impala_sps", bench_anakin_impala),
+        ("sebulba_ppo_sps", lambda: bench_sebulba("ppo")),
+        ("sebulba_impala_sps", lambda: bench_sebulba("impala")),
+    ):
+        try:
+            secondary[name] = round(fn(), 1)
+        except Exception as e:  # a secondary path must not sink the headline
+            print(f"[bench] {name} failed: {e}", file=sys.stderr, flush=True)
+            secondary[name] = None
     return {
         "metric": "breakout_ppo_env_steps_per_sec_per_chip",
         "value": round(sps, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(sps / BASELINE_SPS, 3),
+        "secondary": secondary,
     }
 
 

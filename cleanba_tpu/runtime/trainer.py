@@ -104,7 +104,7 @@ def _put_payload(q: queue.Queue, item, threads, timeout: float = None) -> None:
             _check_alive(threads)
 
 
-def train(cfg) -> None:
+def train(cfg) -> dict:
     from cleanba_tpu.utils.watchdog import maybe_start_watchdog_from_env
 
     maybe_start_watchdog_from_env()
@@ -243,6 +243,11 @@ def train(cfg) -> None:
     rollout_queue_get_time: deque = deque(maxlen=10)
     learner_policy_version = start_update
     global_step = initial_global_step
+    # Steady-state SPS measurement (skips compile/warmup updates) so callers
+    # (bench.py) get an honest end-to-end number.
+    warmup_version = start_update + 2
+    steady_t0 = None
+    steady_step0 = 0
     while True:
         learner_policy_version += 1
         tracer.step(learner_policy_version - start_update)
@@ -314,9 +319,15 @@ def train(cfg) -> None:
             host_state = jax.device_get(agent_state)
             save_checkpoint(cfg.run_path, host_state, learner_policy_version, global_step)
 
+        if learner_policy_version == warmup_version:
+            steady_t0 = time.time()
+            steady_step0 = global_step
         if learner_policy_version >= cfg.num_updates:
             break
     tracer.close()
+    steady_sps = 0
+    if steady_t0 is not None and global_step > steady_step0:
+        steady_sps = int((global_step - steady_step0) / max(time.time() - steady_t0, 1e-9))
 
     # Drain rollout threads' final payloads so they can exit, then join.
     for q in rollout_queues:
@@ -352,6 +363,8 @@ def train(cfg) -> None:
 
     writer.flush()
     writer.close()
+    return dict(global_step=global_step, sps=steady_sps,
+                num_updates=learner_policy_version)
 
 
 def _dummy_writer():
