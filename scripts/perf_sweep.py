@@ -1,0 +1,127 @@
+"""Perf sweep on the real chip: Sebulba overlap proof + Anakin scaling.
+
+Measures (one JSON line per experiment, appended to --out):
+1. Sebulba PPO steady SPS: concurrency on/off x device-stack on/off —
+   quantifies the one-version-behind pipelining win (SURVEY §7 hard part (b))
+   and the 4x host->device traffic cut from on-device frame stacking.
+2. Anakin PPO steady SPS at reference batch (128 envs) and scaled batches
+   (256/512 envs) — MXU utilization headroom beyond the reference config.
+
+Optionally captures a jax.profiler trace (--trace) of one Sebulba config and
+one Anakin config for overlap inspection (artifacts under static/traces/).
+
+Run:  python scripts/perf_sweep.py --out static/perf_sweep.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "") -> dict:
+    from cleanba_tpu.config import PPOConfig
+    from cleanba_tpu.runtime.trainer import train
+
+    cfg = PPOConfig(
+        env_id="Breakout-v5",
+        local_num_envs=64,
+        num_actor_threads=2,
+        num_steps=128,
+        num_minibatches=4,
+        update_epochs=4,
+        bf16=True,
+        concurrency=concurrency,
+        device_stack=device_stack,
+        log_frequency=10**9,
+        run_dir="/tmp/perf_runs",
+        env_backend="native",
+        total_timesteps=64 * 2 * 128 * 14,
+        trace_dir=trace_dir,
+    )
+    stats = train(cfg)
+    return dict(
+        experiment="sebulba_ppo",
+        concurrency=concurrency,
+        device_stack=device_stack,
+        sps=stats["sps"],
+    )
+
+
+def anakin_sps(n_envs: int, trace_dir: str = "", num_updates: int = 10) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cleanba_tpu import train_ppo_anakin as anakin
+    from cleanba_tpu.config import PPOConfig
+    from cleanba_tpu.envs import PROTOCOLS
+    from cleanba_tpu.runtime.agent import build_agent
+    from cleanba_tpu.utils.profiling import TraceWindow
+
+    cfg = PPOConfig(
+        env_id="Breakout-v5", local_num_envs=n_envs, num_actor_threads=1,
+        num_steps=128, num_minibatches=4, update_epochs=4, bf16=True,
+        log_frequency=10**9, run_dir="/tmp/perf_runs",
+        total_timesteps=n_envs * 128 * num_updates,
+    )
+    cfg.resolve()
+    env = anakin.make_jax_env(cfg.env_id, dict(PROTOCOLS["machado"]))
+    mesh = jax.sharding.Mesh(np.array(jax.local_devices()), (anakin.AXIS,))
+    key = jax.random.PRNGKey(1)
+    agent = build_agent(cfg, env.num_actions, np.zeros((1, 84, 84, 4), np.uint8),
+                        key, compute_dtype=jnp.bfloat16)
+    step = anakin.build_train_step(cfg, env, mesh, agent, n_envs)
+    carry = anakin.make_anakin_state(cfg, env, mesh, agent, key)
+    tracer = TraceWindow(trace_dir, start=4, stop=8)
+    times = []
+    for i in range(num_updates):
+        tracer.step(i + 1)
+        t0 = time.time()
+        carry, metrics, _ = step(carry)
+        _ = float(metrics.loss)
+        times.append(time.time() - t0)
+    tracer.close()
+    steady = times[2:]
+    return dict(
+        experiment="anakin_ppo", n_envs=n_envs,
+        sps=round(n_envs * 128 * len(steady) / sum(steady), 1),
+        sec_per_update=round(sum(steady) / len(steady), 4),
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="static/perf_sweep.jsonl")
+    p.add_argument("--trace", action="store_true")
+    p.add_argument("--skip-sebulba", action="store_true")
+    p.add_argument("--skip-anakin", action="store_true")
+    args = p.parse_args()
+
+    results = []
+    if not args.skip_anakin:
+        for n, tr in [(128, "static/traces/anakin128" if args.trace else ""),
+                      (256, ""), (512, "")]:
+            r = anakin_sps(n, trace_dir=tr)
+            print(json.dumps(r), file=sys.stderr, flush=True)
+            results.append(r)
+    if not args.skip_sebulba:
+        for conc, stack, tr in [
+            (False, False, ""),
+            (True, False, ""),
+            (True, True, "static/traces/sebulba_overlap" if args.trace else ""),
+            (False, True, ""),
+        ]:
+            r = sebulba_sps(conc, stack, trace_dir=tr)
+            print(json.dumps(r), file=sys.stderr, flush=True)
+            results.append(r)
+    with open(args.out, "a") as f:
+        for r in results:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {len(results)} results to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

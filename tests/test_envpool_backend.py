@@ -17,7 +17,7 @@ HAVE_ENVPOOL = envpool_available()
 def test_factory_routes_unknown_id_to_envpool_with_clear_error():
     """backend='auto' + a non-native Atari id must route to EnvPool, and the
     error without the wheel must say so (not a cryptic native-engine miss)."""
-    thunk = make_env("Qbert-v5", seed=1, num_envs=2)
+    thunk = make_env("Alien-v5", seed=1, num_envs=2)
     if HAVE_ENVPOOL:
         envs = thunk()
         assert envs.spec.num_actions >= 6
