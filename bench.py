@@ -155,7 +155,12 @@ def bench_sebulba(algo: str, num_updates: int = 12) -> float:
     else:
         cfg = ImpalaConfig(num_steps=20,
                            total_timesteps=64 * 2 * 20 * max(num_updates, 30), **common)
-    stats = train(cfg)
+    import contextlib
+
+    # Keep stdout clean for the single JSON result line (train() pprints the
+    # resolved config and progress to stdout).
+    with contextlib.redirect_stdout(sys.stderr):
+        stats = train(cfg)
     print(f"[bench:sebulba_{algo}] {stats}", file=sys.stderr, flush=True)
     return float(stats["sps"])
 

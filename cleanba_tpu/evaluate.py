@@ -73,6 +73,15 @@ def evaluate(
     if capture_video and frames:
         _write_video(frames, os.path.join(video_dir, run_name, "eval.mp4"))
     envs.close()
+    # HNS report when anchors exist (the reference's headline metric family,
+    # README.md:14; anchors in cleanba_tpu/hns.py).
+    try:
+        from cleanba_tpu.hns import human_normalized_score
+
+        hns = human_normalized_score(env_id, float(np.mean(episodic_returns)))
+        print(f"eval HNS({env_id}) = {hns:.3f}")
+    except KeyError:
+        pass
     return episodic_returns
 
 
