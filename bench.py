@@ -69,16 +69,26 @@ def bench_anakin_ppo(num_updates: int = 10, warmup_updates: int = 2) -> float:
     carry = anakin.make_anakin_state(cfg, env, mesh, agent, key)
 
     steps_per_update = n_envs * cfg.num_steps
-    times = []
-    for i in range(num_updates):
+    # Warmup (compile + first dispatches), forced per update for visibility.
+    for i in range(warmup_updates):
         t0 = time.time()
         carry, metrics, charts = train_step(carry)
         loss = float(metrics.loss)  # force completion on the remote chip
-        times.append(time.time() - t0)
-        print(f"[bench:anakin_ppo] update {i + 1}: {times[-1]:.2f}s loss={loss:.3f} "
-              f"ret={float(charts[0]):.2f}", file=sys.stderr, flush=True)
-    steady = times[warmup_updates:]
-    return steps_per_update * len(steady) / sum(steady)
+        print(f"[bench:anakin_ppo] warmup {i + 1}: {time.time() - t0:.2f}s "
+              f"loss={loss:.3f} ret={float(charts[0]):.2f}",
+              file=sys.stderr, flush=True)
+    # Steady window: dispatch every update, force once at the end — this is
+    # how train() actually runs (async dispatch, metrics fetched only every
+    # log_frequency), so per-update host round trips don't pollute the number.
+    t0 = time.time()
+    for i in range(num_updates):
+        carry, metrics, charts = train_step(carry)
+    loss = float(metrics.loss)
+    dt = time.time() - t0
+    print(f"[bench:anakin_ppo] steady: {num_updates} updates in {dt:.2f}s "
+          f"({dt / num_updates * 1000:.0f} ms/update) loss={loss:.3f} "
+          f"ret={float(charts[0]):.2f}", file=sys.stderr, flush=True)
+    return steps_per_update * num_updates / dt
 
 
 def bench_anakin_impala(num_updates: int = 40, warmup_updates: int = 5) -> float:
@@ -118,17 +128,20 @@ def bench_anakin_impala(num_updates: int = 40, warmup_updates: int = 5) -> float
     carry = anakin.make_impala_anakin_state(cfg, env, mesh, agent, key, sample_step)
 
     steps_per_update = n_envs * cfg.num_steps
-    times = []
-    for i in range(num_updates):
-        t0 = time.time()
+    for i in range(warmup_updates):
         carry, metrics, charts = train_step(carry)
         loss = float(metrics.loss)
-        times.append(time.time() - t0)
-        if i < 3 or (i + 1) % 10 == 0:
-            print(f"[bench:anakin_impala] update {i + 1}: {times[-1]:.3f}s "
-                  f"loss={loss:.3f}", file=sys.stderr, flush=True)
-    steady = times[warmup_updates:]
-    return steps_per_update * len(steady) / sum(steady)
+    print(f"[bench:anakin_impala] warmup done, loss={loss:.3f}",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    for i in range(num_updates):
+        carry, metrics, charts = train_step(carry)
+    loss = float(metrics.loss)
+    dt = time.time() - t0
+    print(f"[bench:anakin_impala] steady: {num_updates} updates in {dt:.2f}s "
+          f"({dt / num_updates * 1000:.1f} ms/update) loss={loss:.3f}",
+          file=sys.stderr, flush=True)
+    return steps_per_update * num_updates / dt
 
 
 def bench_sebulba(algo: str, num_updates: int = 12) -> float:

