@@ -259,6 +259,7 @@ _BREAKOUT = dict(
 def _games():
     from cleanba_tpu.envs.jax_games import BEAMRIDER, PONG, SPACE_INVADERS
     from cleanba_tpu.envs.jax_games_extra import BOXING, FREEWAY, QBERT, SEAQUEST
+    from cleanba_tpu.envs.jax_games_wave3 import ASTERIX, DEMON_ATTACK, ENDURO, MSPACMAN
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -269,6 +270,10 @@ def _games():
         "Boxing-v5": BOXING,
         "Seaquest-v5": SEAQUEST,
         "Qbert-v5": QBERT,
+        "Asterix-v5": ASTERIX,
+        "MsPacman-v5": MSPACMAN,
+        "DemonAttack-v5": DEMON_ATTACK,
+        "Enduro-v5": ENDURO,
     }
 
 
@@ -534,6 +539,7 @@ class JaxCartPoleEnv:
 JAX_TASKS = (
     "Breakout-v5", "Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
     "Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
+    "Asterix-v5", "MsPacman-v5", "DemonAttack-v5", "Enduro-v5",
     "Bigfish-v0", "BigfishHard-v0", "Maze-v0", "MazeHard-v0",
     "Leaper-v0", "LeaperHard-v0", "Chaser-v0", "ChaserHard-v0",
     "CartPole-v1",

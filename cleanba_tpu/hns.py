@@ -28,6 +28,10 @@ ATARI_SCORES: Dict[str, tuple] = {
     "Boxing-v5": (0.1, 12.1),
     "Seaquest-v5": (68.4, 42054.7),
     "Qbert-v5": (163.9, 13455.0),
+    "Asterix-v5": (210.0, 8503.3),
+    "MsPacman-v5": (307.3, 6951.6),
+    "DemonAttack-v5": (152.1, 1971.0),
+    "Enduro-v5": (0.0, 860.5),
 }
 
 

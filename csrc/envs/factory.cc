@@ -17,6 +17,10 @@ std::unique_ptr<Game> make_freeway_game();
 std::unique_ptr<Game> make_boxing_game();
 std::unique_ptr<Game> make_seaquest_game();
 std::unique_ptr<Game> make_qbert_game();
+std::unique_ptr<Game> make_asterix_game();
+std::unique_ptr<Game> make_mspacman_game();
+std::unique_ptr<Game> make_demon_attack_game();
+std::unique_ptr<Game> make_enduro_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -33,6 +37,10 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Boxing-v5") return make_boxing_game();
   if (task == "Seaquest-v5") return make_seaquest_game();
   if (task == "Qbert-v5") return make_qbert_game();
+  if (task == "Asterix-v5") return make_asterix_game();
+  if (task == "MsPacman-v5") return make_mspacman_game();
+  if (task == "DemonAttack-v5") return make_demon_attack_game();
+  if (task == "Enduro-v5") return make_enduro_game();
   return nullptr;
 }
 

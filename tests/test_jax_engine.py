@@ -377,3 +377,77 @@ def test_qbert_fall_costs_life_and_respawns_at_top():
     assert int(state.core.lives) == 2
     assert int(state.core.pr) == 0 and int(state.core.pc) == 0
     assert not bool(term)
+
+# ---------------------------------------------------------------------------
+# Wave-3 games (Asterix, MsPacman, DemonAttack, Enduro) — cross-engine parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("task", ["Asterix-v5", "MsPacman-v5", "DemonAttack-v5", "Enduro-v5"])
+def test_wave3_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", ["Asterix-v5", "MsPacman-v5", "DemonAttack-v5", "Enduro-v5"])
+def test_wave3_random_walk_contract(task):
+    """Random play earns reward; short-episode games also terminate.
+
+    Enduro is exempt from the termination clause: like the real cart
+    (ref /root/reference/cleanba/cleanba_ppo.py:126-146 runs it under the
+    27000-step Machado cap), its episodes outlive any reasonable unit-test
+    budget, so only the reward channel is asserted.
+    """
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(7))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    saw_term, total = False, 0.0
+    needs_term = task != "Enduro-v5"
+    for i in range(4000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        total += float(rr)
+        if bool(term):
+            saw_term = True
+        if total > 0 and (saw_term or not needs_term):
+            break
+    assert total > 0, f"{task}: no reward under a random walk"
+    if needs_term:
+        assert saw_term, f"{task}: no episode ever terminated"
+
+
+def test_mspacman_pellet_scores_10():
+    """The first pellet chomped on the opening corridor is worth +10."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("MsPacman-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    for a in (3, 3, 3, 3, 2, 2, 2, 2):  # LEFT then RIGHT sweeps the home row
+        state, obs, r, raw, *_ = step(state, jnp.int32(a))
+        total += float(raw)
+        if total > 0:
+            break
+    assert total >= 10.0, f"no pellet eaten on the opening corridor (got {total})"
+
+
+def test_enduro_accelerating_passes_cars():
+    """Holding FIRE (accelerate) must overtake traffic for +1 per car."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Enduro-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    for _ in range(400):
+        state, obs, r, raw, *_ = step(state, jnp.int32(1))  # FIRE
+        total += float(raw)
+    assert total >= 2.0, f"accelerating overtook {total} cars in 400 steps"
