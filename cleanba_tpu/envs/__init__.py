@@ -66,6 +66,7 @@ NATIVE_ATARI_TASKS = (
     "Breakout-v5", "Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
     "Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
     "Asterix-v5", "MsPacman-v5", "DemonAttack-v5", "Enduro-v5",
+    "Atlantis-v5", "Bowling-v5", "FishingDerby-v5", "CrazyClimber-v5",
 )
 NATIVE_PROCGEN_TASKS = (
     "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",

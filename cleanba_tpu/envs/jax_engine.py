@@ -260,6 +260,9 @@ def _games():
     from cleanba_tpu.envs.jax_games import BEAMRIDER, PONG, SPACE_INVADERS
     from cleanba_tpu.envs.jax_games_extra import BOXING, FREEWAY, QBERT, SEAQUEST
     from cleanba_tpu.envs.jax_games_wave3 import ASTERIX, DEMON_ATTACK, ENDURO, MSPACMAN
+    from cleanba_tpu.envs.jax_games_wave4 import (
+        ATLANTIS, BOWLING, CRAZY_CLIMBER, FISHING_DERBY,
+    )
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -274,6 +277,10 @@ def _games():
         "MsPacman-v5": MSPACMAN,
         "DemonAttack-v5": DEMON_ATTACK,
         "Enduro-v5": ENDURO,
+        "Atlantis-v5": ATLANTIS,
+        "Bowling-v5": BOWLING,
+        "FishingDerby-v5": FISHING_DERBY,
+        "CrazyClimber-v5": CRAZY_CLIMBER,
     }
 
 
@@ -540,6 +547,7 @@ JAX_TASKS = (
     "Breakout-v5", "Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
     "Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
     "Asterix-v5", "MsPacman-v5", "DemonAttack-v5", "Enduro-v5",
+    "Atlantis-v5", "Bowling-v5", "FishingDerby-v5", "CrazyClimber-v5",
     "Bigfish-v0", "BigfishHard-v0", "Maze-v0", "MazeHard-v0",
     "Leaper-v0", "LeaperHard-v0", "Chaser-v0", "ChaserHard-v0",
     "CartPole-v1",

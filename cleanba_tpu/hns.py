@@ -32,6 +32,10 @@ ATARI_SCORES: Dict[str, tuple] = {
     "MsPacman-v5": (307.3, 6951.6),
     "DemonAttack-v5": (152.1, 1971.0),
     "Enduro-v5": (0.0, 860.5),
+    "Atlantis-v5": (12850.0, 29028.1),
+    "Bowling-v5": (23.1, 160.7),
+    "FishingDerby-v5": (-91.7, -38.7),
+    "CrazyClimber-v5": (10780.5, 35829.4),
 }
 
 

@@ -21,6 +21,10 @@ std::unique_ptr<Game> make_asterix_game();
 std::unique_ptr<Game> make_mspacman_game();
 std::unique_ptr<Game> make_demon_attack_game();
 std::unique_ptr<Game> make_enduro_game();
+std::unique_ptr<Game> make_atlantis_game();
+std::unique_ptr<Game> make_bowling_game();
+std::unique_ptr<Game> make_fishing_derby_game();
+std::unique_ptr<Game> make_crazy_climber_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -41,6 +45,10 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "MsPacman-v5") return make_mspacman_game();
   if (task == "DemonAttack-v5") return make_demon_attack_game();
   if (task == "Enduro-v5") return make_enduro_game();
+  if (task == "Atlantis-v5") return make_atlantis_game();
+  if (task == "Bowling-v5") return make_bowling_game();
+  if (task == "FishingDerby-v5") return make_fishing_derby_game();
+  if (task == "CrazyClimber-v5") return make_crazy_climber_game();
   return nullptr;
 }
 

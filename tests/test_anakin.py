@@ -147,6 +147,7 @@ import pytest
 
 @pytest.mark.parametrize("env_id", ["Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
                                     "MsPacman-v5", "DemonAttack-v5",
+                                    "Atlantis-v5", "FishingDerby-v5",
                                     "Leaper-v0", "ChaserHard-v0"])
 def test_new_games_train_step_on_mesh(eight_cpu_devices, env_id):
     """Every second-wave game runs through the full sharded Anakin update."""

@@ -152,7 +152,8 @@ def test_truncation_cap():
 @pytest.mark.parametrize("task", ["Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
                                   "Boxing-v5", "Seaquest-v5", "Qbert-v5",
                                   "Asterix-v5", "MsPacman-v5", "DemonAttack-v5",
-                                  "Enduro-v5"])
+                                  "Enduro-v5", "Atlantis-v5", "Bowling-v5",
+                                  "FishingDerby-v5", "CrazyClimber-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()

@@ -451,3 +451,94 @@ def test_enduro_accelerating_passes_cars():
         state, obs, r, raw, *_ = step(state, jnp.int32(1))  # FIRE
         total += float(raw)
     assert total >= 2.0, f"accelerating overtook {total} cars in 400 steps"
+
+# ---------------------------------------------------------------------------
+# Wave-4 games (Atlantis, Bowling, FishingDerby, CrazyClimber) — parity
+# ---------------------------------------------------------------------------
+
+_WAVE4 = ["Atlantis-v5", "Bowling-v5", "FishingDerby-v5", "CrazyClimber-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE4)
+def test_wave4_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE4)
+def test_wave4_random_walk_contract(task):
+    """Random play moves the score and every wave-4 game terminates.
+
+    FishingDerby must also show NEGATIVE reward (the CPU angler scoring),
+    matching the real game's losing-by-default random baseline.
+    """
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    pos, neg, saw_term = 0.0, 0.0, False
+    for i in range(4000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        rr = float(rr)
+        pos += max(rr, 0.0)
+        neg += min(rr, 0.0)
+        if bool(term):
+            saw_term = True
+        if saw_term and (pos > 0 or neg < 0):
+            break
+    assert saw_term, f"{task}: no episode ever terminated"
+    assert pos > 0 or neg < 0, f"{task}: score never moved under a random walk"
+    if task == "FishingDerby-v5":
+        assert neg < 0, "the CPU angler never landed a fish"
+
+
+def test_bowling_gutter_game_terminates_after_20_rolls():
+    """FIRE-spam with no aim: each roll ends, ten 2-roll frames end the game."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    opts["max_episode_steps"] = 10000
+    jenv = make_jax_env("Bowling-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    term = False
+    for t in range(600):
+        state, obs, r, raw, term, trunc, first = step(state, jnp.int32(1))  # FIRE
+        if bool(term):
+            break
+    assert bool(term), "ten frames of bowling never completed"
+
+
+def test_atlantis_center_gun_kills_top_band_ship():
+    """The opening ship crosses the center column; an up-shot scores +100."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Atlantis-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    for t in range(200):
+        state, obs, r, raw, *_ = step(state, jnp.int32(1))  # FIRE (center gun)
+        total += float(raw)
+        if total > 0:
+            break
+    assert total >= 100.0, f"center gun never killed a ship (got {total})"
+
+
+def test_crazy_climber_up_spam_gains_rows():
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("CrazyClimber-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    for _ in range(100):
+        state, obs, r, raw, *_ = step(state, jnp.int32(2))  # UP
+        total += float(raw)
+    assert total >= 300.0, f"UP-spam gained only {total} points in 100 steps"
