@@ -151,23 +151,28 @@ def bench_sebulba(algo: str, num_updates: int = 12) -> float:
     from cleanba_tpu.config import ImpalaConfig, PPOConfig
     from cleanba_tpu.runtime.trainer import train
 
+    # Thread layout matters on this 2-vCPU host: ONE actor thread with all 128
+    # envs beats two threads x 64 (the overlap study in ARCHITECTURE.md —
+    # extra actor + engine worker threads oversubscribe the cores and slow the
+    # host env loop ~3x, inverting the concurrency win).
     common = dict(
         env_id="Breakout-v5",
-        local_num_envs=64,
-        num_actor_threads=2,
+        local_num_envs=128,
+        num_actor_threads=1,
         num_minibatches=4,
         bf16=True,
         concurrency=True,
+        device_stack=True,
         log_frequency=10**9,
         run_dir="/tmp/bench_runs",
         env_backend="native",
     )
     if algo == "ppo":
         cfg = PPOConfig(num_steps=128, update_epochs=4,
-                        total_timesteps=64 * 2 * 128 * num_updates, **common)
+                        total_timesteps=128 * 128 * num_updates, **common)
     else:
         cfg = ImpalaConfig(num_steps=20,
-                           total_timesteps=64 * 2 * 20 * max(num_updates, 30), **common)
+                           total_timesteps=128 * 20 * max(num_updates, 30), **common)
     import contextlib
 
     # Keep stdout clean for the single JSON result line (train() pprints the
