@@ -35,6 +35,8 @@ class BenchArgs:
     start_seed: int = 1
     workers: int = 0
     auto_tag: bool = True
+    timeout_minutes: float = 0.0
+    retries: int = 0
     slurm_template_path: str = ""
     slurm_gpus_per_task: int = 0
     slurm_total_cpus: int = 8
@@ -49,6 +51,13 @@ def parse_args(argv=None) -> BenchArgs:
     p.add_argument("--num-seeds", type=int, default=3)
     p.add_argument("--start-seed", type=int, default=1)
     p.add_argument("--workers", type=int, default=0, help="0 = run sequentially, N = thread pool")
+    p.add_argument("--timeout-minutes", type=float, default=0.0,
+                   help="kill a job that exceeds this wall-clock budget (0 = no limit)")
+    p.add_argument("--retries", type=int, default=0,
+                   help="re-launch a failed/timed-out job up to N times (local analog of "
+                        "the reference's SLURM --requeue, cleanba.slurm_template:5); pair "
+                        "with --resume + a deterministic --run-name so retries continue "
+                        "from the last checkpoint")
     p.add_argument("--auto-tag", action="store_true", default=True)
     p.add_argument("--no-auto-tag", dest="auto_tag", action="store_false")
     p.add_argument("--slurm-template-path", type=str, default="")
@@ -98,13 +107,35 @@ def autotag(github_repo: str = "") -> str:
     return wandb_tag
 
 
-def run_experiment(command: str) -> int:
-    """Run one training command; raises if it fails (reference benchmark.py:42-47)."""
-    print(f"running: {command}")
-    proc = subprocess.Popen(shlex.split(command))
-    rc = proc.wait()
-    assert rc == 0, f"command failed with code {rc}: {command}"
-    return rc
+def run_experiment(command: str, timeout_minutes: float = 0.0, retries: int = 0) -> int:
+    """Run one training command; raises if it fails (reference benchmark.py:42-47).
+
+    `timeout_minutes` bounds each attempt's wall clock; `retries` re-launches a
+    failed or timed-out job (the local analog of SLURM's `--requeue`,
+    reference cleanba.slurm_template:5). A retried command that sets `--resume`
+    and a deterministic `--run-name` continues from its last checkpoint."""
+    timeout = timeout_minutes * 60 if timeout_minutes > 0 else None
+    for attempt in range(retries + 1):
+        print(f"running (attempt {attempt + 1}/{retries + 1}): {command}", flush=True)
+        proc = subprocess.Popen(shlex.split(command), start_new_session=True)
+        try:
+            rc = proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            print(f"timeout after {timeout_minutes} min, killing: {command}", flush=True)
+            try:
+                os.killpg(proc.pid, 15)
+                proc.wait(timeout=30)
+            except (ProcessLookupError, subprocess.TimeoutExpired):
+                try:
+                    os.killpg(proc.pid, 9)
+                except ProcessLookupError:
+                    pass
+                proc.wait()
+            rc = -1
+        if rc == 0:
+            return rc
+        print(f"command failed with code {rc}: {command}", flush=True)
+    raise AssertionError(f"command failed after {retries + 1} attempts: {command}")
 
 
 def build_commands(args: BenchArgs) -> List[str]:
@@ -148,12 +179,15 @@ def main(argv=None) -> None:
 
     if args.workers > 0:
         with ThreadPoolExecutor(max_workers=args.workers) as pool:
-            futures = [pool.submit(run_experiment, c) for c in commands]
+            futures = [
+                pool.submit(run_experiment, c, args.timeout_minutes, args.retries)
+                for c in commands
+            ]
             for f in futures:
                 f.result()
     else:
         for c in commands:
-            run_experiment(c)
+            run_experiment(c, args.timeout_minutes, args.retries)
 
 
 if __name__ == "__main__":

@@ -169,6 +169,13 @@ class CommonConfig:
             self.run_name = (
                 f"{self.env_id}__{self.exp_name}__{self.seed}__{int(time.time())}"
             )
+        elif "{" in self.run_name:
+            # Deterministic templated names for orchestrated sweeps: e.g.
+            # --run-name 'hns_{env_id}_s{seed}' gives every (env, seed) job a
+            # stable directory so a retried job can --resume its checkpoints.
+            self.run_name = self.run_name.format(
+                env_id=self.env_id, seed=self.seed, exp_name=self.exp_name
+            )
         return self
 
     @property

@@ -45,6 +45,21 @@ def evaluate(
     agent = build_agent(cfg, envs.spec.num_actions, sample_obs, jax.random.PRNGKey(seed))
     params = load_model(model_path, agent.init_params)
 
+    # Per-algo inference dispatch: PPO checkpoints sample through the PPO
+    # head path (reference ppo_envpool_jax_eval.py uses get_action_and_value),
+    # IMPALA through the logits path — so eval cannot silently diverge from
+    # the trained policy head if the two inference fns ever differ.
+    if hasattr(cfg, "update_epochs"):  # PPOConfig marker field
+
+        def _act(p, obs, pa, pr, k):
+            _, action, _, _, k = agent.ppo_inference(p, obs, pa, pr, k)
+            return action, k
+    else:
+
+        def _act(p, obs, pa, pr, k):
+            _, action, _, k = agent.impala_inference(p, obs, pa, pr, k)
+            return action, k
+
     key = jax.random.PRNGKey(seed)
     episodic_returns: List[float] = []
     frames: List[np.ndarray] = []
@@ -54,7 +69,7 @@ def evaluate(
     prev_r = np.zeros(1, np.float32)
 
     while len(episodic_returns) < eval_episodes:
-        _, action, _, key = agent.impala_inference(params, next_obs, prev_a, prev_r, key)
+        action, key = _act(params, next_obs, prev_a, prev_r, key)
         next_obs, reward, terminated, truncated, info = envs.step(np.asarray(action))
         first = (info["elapsed_step"] == 0).astype(np.float32)
         prev_a = (np.asarray(action) * (1.0 - first)).astype(np.int32)

@@ -226,19 +226,22 @@ def train(cfg) -> dict:
             threads.append(t)
 
     if cfg.asap:
-        _asap_loop(cfg, algo, topo, agent_state, update_fn, shared_rollout_queue,
-                   store, learner_keys, writer, stop_event, initial_global_step,
-                   threads)
+        stats = _asap_loop(cfg, algo, topo, agent_state, update_fn,
+                           shared_rollout_queue, store, learner_keys, writer,
+                           stop_event, initial_global_step, threads)
         for t in threads:
             t.join(timeout=30)
         writer.flush()
         writer.close()
-        return
+        return stats
 
     # --- learner loop (reference cleanba_ppo.py:688-751) ---
     if cfg.test_actor_learner_throughput:
-        _throughput_test(cfg, algo, topo, agent_state, update_fn, rollout_queues, learner_keys, writer)
-        return
+        stats = _throughput_test(cfg, algo, topo, agent_state, update_fn,
+                                 rollout_queues, learner_keys, writer)
+        writer.flush()
+        writer.close()
+        return stats
     tracer = TraceWindow(cfg.trace_dir)
     rollout_queue_get_time: deque = deque(maxlen=10)
     learner_policy_version = start_update
@@ -413,7 +416,11 @@ def _asap_loop(cfg, algo, topo, agent_state, update_fn, shared_queue, store,
     steps_per_payload = cfg.local_num_envs * cfg.num_steps * cfg.world_size
     consumed = initial_global_step
     version = 0
+    steady_t0, steady_step0 = None, consumed
+    steady_sps = 0
     while consumed < cfg.total_timesteps:
+        if version == 2 and steady_t0 is None:  # skip compile/warmup updates
+            steady_t0, steady_step0 = time.time(), consumed
         payload = _get_payload(shared_queue, list(threads))
         if algo == "ppo":
             (_gs, _apv, _upd, storage, next_obs_s, next_done_s, _t, _tid) = payload
@@ -442,6 +449,9 @@ def _asap_loop(cfg, algo, topo, agent_state, update_fn, shared_queue, store,
             shared_queue.get_nowait()
         except queue.Empty:
             break
+    if steady_t0 is not None:
+        steady_sps = int((consumed - steady_step0) / max(time.time() - steady_t0, 1e-9))
+    return dict(global_step=consumed, sps=steady_sps, num_updates=version)
 
 
 def _throughput_test(cfg, algo, topo, agent_state, update_fn, rollout_queues, learner_keys, writer):
@@ -484,3 +494,5 @@ def _throughput_test(cfg, algo, topo, agent_state, update_fn, rollout_queues, le
             writer.add_scalar("charts/SPS_update", sps_update, version * steps_per_update)
     total = steps_per_update * cfg.num_updates / (time.time() - t_start)
     print(f"[throughput-test] learner ceiling: {total:,.0f} env-steps/s")
+    return dict(global_step=steps_per_update * cfg.num_updates, sps=int(total),
+                num_updates=cfg.num_updates)

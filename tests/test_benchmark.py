@@ -49,3 +49,48 @@ def test_slurm_template_expansion(tmp_path, monkeypatch):
     assert "Breakout-v5" in content
     assert "{{" not in content  # all placeholders filled
     assert calls and calls[0][0][0] == "sbatch"
+
+
+def test_retry_on_failure(tmp_path):
+    """A failing job is re-launched up to --retries times (local analog of
+    SLURM --requeue); success on a later attempt completes the sweep."""
+    counter = tmp_path / "attempts.txt"
+    # Fails on the first attempt (no file yet), succeeds on the second.
+    script = (
+        f"import os,sys; p=r'{counter}'; n=os.path.exists(p);"
+        "open(p,'a').write('x'); sys.exit(0 if n else 1)"
+    )
+    main([
+        "--env-ids", "X-v5", "--num-seeds", "1", "--no-auto-tag",
+        "--retries", "2",
+        "--command", f'python -c "{script}" --ignore',
+    ])
+    assert counter.read_text() == "xx"  # exactly two attempts
+
+
+def test_retry_exhaustion_raises(tmp_path):
+    import pytest
+
+    with pytest.raises(AssertionError, match="failed after 2 attempts"):
+        main([
+            "--env-ids", "X-v5", "--num-seeds", "1", "--no-auto-tag",
+            "--retries", "1",
+            "--command", 'python -c "import sys; sys.exit(3)" --ignore',
+        ])
+
+
+def test_timeout_kills_hung_job(tmp_path):
+    """A job exceeding --timeout-minutes is killed (whole process group) and
+    counted as a failed attempt."""
+    import time
+
+    import pytest
+
+    t0 = time.time()
+    with pytest.raises(AssertionError, match="failed after 1 attempts"):
+        main([
+            "--env-ids", "X-v5", "--num-seeds", "1", "--no-auto-tag",
+            "--timeout-minutes", "0.05",  # 3 seconds
+            "--command", 'python -c "import time; time.sleep(60)" --ignore',
+        ])
+    assert time.time() - t0 < 30, "hung job was not killed promptly"

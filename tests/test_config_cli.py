@@ -65,3 +65,17 @@ def test_cli_derived_fields_not_exposed():
 def test_cli_optional_none():
     cfg = parse_cli(PPOConfig, ["--wandb-entity", "None"])
     assert cfg.wandb_entity is None
+
+
+def test_run_name_template_resolution():
+    """'{env_id}'/'{seed}' placeholders give orchestrated jobs deterministic
+    run dirs so a retried job can --resume its checkpoints."""
+    from cleanba_tpu.config import ImpalaConfig
+
+    cfg = ImpalaConfig(env_id="Pong-v5", seed=7, run_name="hns_{env_id}_s{seed}")
+    cfg.resolve()
+    assert cfg.run_name == "hns_Pong-v5_s7"
+    # Non-templated explicit names pass through untouched.
+    cfg2 = ImpalaConfig(run_name="fixed")
+    cfg2.resolve()
+    assert cfg2.run_name == "fixed"

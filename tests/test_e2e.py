@@ -139,4 +139,19 @@ def test_impala_asap_mode(tmp_path):
         total_timesteps=2048, anneal_lr=False, asap=True,
         run_dir=str(tmp_path), log_frequency=50, env_backend="python",
     )
-    train(cfg)
+    stats = train(cfg)
+    # Every train() path returns the same stats contract (VERDICT r2 weak #4).
+    assert set(stats) >= {"global_step", "sps", "num_updates"}
+    assert stats["global_step"] >= cfg.total_timesteps
+
+
+def test_throughput_test_mode_returns_stats(tmp_path):
+    """--test-actor-learner-throughput returns the same stats dict as the
+    normal path, so bench tooling can consume any mode uniformly."""
+    cfg = cartpole_ppo_cfg(
+        tmp_path, total_timesteps=1024, test_actor_learner_throughput=True,
+        log_frequency=1,
+    )
+    stats = train(cfg)
+    assert set(stats) >= {"global_step", "sps", "num_updates"}
+    assert stats["sps"] > 0 and stats["num_updates"] == cfg.num_updates
