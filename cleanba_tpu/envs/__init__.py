@@ -57,7 +57,7 @@ PROTOCOLS = {
 _STATE_TASKS = {"CartPole-v1"}
 
 # Procgen-family ids handled by the engine's procedural 64x64 RGB tasks.
-_PROCGEN_PREFIXES = ("Bigfish", "Maze", "Leaper", "Chaser")
+_PROCGEN_PREFIXES = ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot", "Fruitbot")
 
 # Task ids the from-scratch engines (csrc/ + jax_engine) implement. Ids
 # outside this set route to the EnvPool backend under backend='auto'
@@ -67,12 +67,16 @@ NATIVE_ATARI_TASKS = (
     "Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
     "Asterix-v5", "MsPacman-v5", "DemonAttack-v5", "Enduro-v5",
     "Atlantis-v5", "Bowling-v5", "FishingDerby-v5", "CrazyClimber-v5",
+    "Assault-v5", "Phoenix-v5", "Gopher-v5", "NameThisGame-v5",
+    "Riverraid-v5", "KungFuMaster-v5", "Tennis-v5", "StarGunner-v5",
 )
 NATIVE_PROCGEN_TASKS = (
     "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",
     "Maze-v0", "MazeEasy-v0", "MazeHard-v0",
     "Leaper-v0", "LeaperEasy-v0", "LeaperHard-v0",
     "Chaser-v0", "ChaserEasy-v0", "ChaserHard-v0",
+    "Starpilot-v0", "StarpilotEasy-v0", "StarpilotHard-v0",
+    "Fruitbot-v0", "FruitbotEasy-v0", "FruitbotHard-v0",
 )
 
 

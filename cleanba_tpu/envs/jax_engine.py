@@ -263,6 +263,12 @@ def _games():
     from cleanba_tpu.envs.jax_games_wave4 import (
         ATLANTIS, BOWLING, CRAZY_CLIMBER, FISHING_DERBY,
     )
+    from cleanba_tpu.envs.jax_games_wave5 import (
+        ASSAULT, GOPHER, NAME_THIS_GAME, PHOENIX,
+    )
+    from cleanba_tpu.envs.jax_games_wave6 import (
+        KUNG_FU_MASTER, RIVERRAID, STAR_GUNNER, TENNIS,
+    )
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -281,6 +287,14 @@ def _games():
         "Bowling-v5": BOWLING,
         "FishingDerby-v5": FISHING_DERBY,
         "CrazyClimber-v5": CRAZY_CLIMBER,
+        "Assault-v5": ASSAULT,
+        "Phoenix-v5": PHOENIX,
+        "Gopher-v5": GOPHER,
+        "NameThisGame-v5": NAME_THIS_GAME,
+        "Riverraid-v5": RIVERRAID,
+        "KungFuMaster-v5": KUNG_FU_MASTER,
+        "Tennis-v5": TENNIS,
+        "StarGunner-v5": STAR_GUNNER,
     }
 
 
@@ -548,8 +562,11 @@ JAX_TASKS = (
     "Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
     "Asterix-v5", "MsPacman-v5", "DemonAttack-v5", "Enduro-v5",
     "Atlantis-v5", "Bowling-v5", "FishingDerby-v5", "CrazyClimber-v5",
+    "Assault-v5", "Phoenix-v5", "Gopher-v5", "NameThisGame-v5",
+    "Riverraid-v5", "KungFuMaster-v5", "Tennis-v5", "StarGunner-v5",
     "Bigfish-v0", "BigfishHard-v0", "Maze-v0", "MazeHard-v0",
     "Leaper-v0", "LeaperHard-v0", "Chaser-v0", "ChaserHard-v0",
+    "Starpilot-v0", "StarpilotHard-v0", "Fruitbot-v0", "FruitbotHard-v0",
     "CartPole-v1",
 )
 
@@ -565,14 +582,19 @@ def make_jax_env(env_id: str, protocol_opts: dict | None = None):
     opts = dict(protocol_opts or {})
     if env_id == "CartPole-v1":
         return JaxCartPoleEnv(env_id, max_episode_steps=opts.get("max_episode_steps", 500))
-    if env_id.startswith(("Bigfish", "Maze", "Leaper", "Chaser")) and env_id.endswith("-v0"):
+    if env_id.startswith(
+        ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot", "Fruitbot")
+    ) and env_id.endswith("-v0"):
         from cleanba_tpu.envs.jax_procgen import JaxBigfishEnv, JaxMazeEnv
         from cleanba_tpu.envs.jax_procgen_extra import JaxChaserEnv, JaxLeaperEnv
+        from cleanba_tpu.envs.jax_procgen_wave5 import JaxFruitbotEnv, JaxStarpilotEnv
 
         hard = "Hard" in env_id
+        prefixes = ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot", "Fruitbot")
         cls = {
             "Bigfish": JaxBigfishEnv, "Maze": JaxMazeEnv,
             "Leaper": JaxLeaperEnv, "Chaser": JaxChaserEnv,
-        }[next(p for p in ("Bigfish", "Maze", "Leaper", "Chaser") if env_id.startswith(p))]
+            "Starpilot": JaxStarpilotEnv, "Fruitbot": JaxFruitbotEnv,
+        }[next(p for p in prefixes if env_id.startswith(p))]
         return cls(env_id, hard=hard, max_episode_steps=1000)
     return JaxAtariEnv(env_id, **opts)

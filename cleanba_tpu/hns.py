@@ -36,6 +36,14 @@ ATARI_SCORES: Dict[str, tuple] = {
     "Bowling-v5": (23.1, 160.7),
     "FishingDerby-v5": (-91.7, -38.7),
     "CrazyClimber-v5": (10780.5, 35829.4),
+    "Assault-v5": (222.4, 742.0),
+    "Phoenix-v5": (761.4, 7242.6),
+    "Gopher-v5": (257.6, 2412.5),
+    "NameThisGame-v5": (2292.3, 8049.0),
+    "Riverraid-v5": (1338.5, 17118.0),
+    "KungFuMaster-v5": (258.5, 22736.3),
+    "Tennis-v5": (-23.8, -8.3),
+    "StarGunner-v5": (664.0, 10250.0),
 }
 
 

@@ -25,10 +25,20 @@ std::unique_ptr<Game> make_atlantis_game();
 std::unique_ptr<Game> make_bowling_game();
 std::unique_ptr<Game> make_fishing_derby_game();
 std::unique_ptr<Game> make_crazy_climber_game();
+std::unique_ptr<Game> make_assault_game();
+std::unique_ptr<Game> make_phoenix_game();
+std::unique_ptr<Game> make_gopher_game();
+std::unique_ptr<Game> make_name_this_game_game();
+std::unique_ptr<Game> make_riverraid_game();
+std::unique_ptr<Game> make_kung_fu_master_game();
+std::unique_ptr<Game> make_tennis_game();
+std::unique_ptr<Game> make_star_gunner_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_chaser_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_starpilot_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_fruitbot_env(const EnvOptions& opts, bool hard);
 
 namespace {
 
@@ -49,6 +59,14 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Bowling-v5") return make_bowling_game();
   if (task == "FishingDerby-v5") return make_fishing_derby_game();
   if (task == "CrazyClimber-v5") return make_crazy_climber_game();
+  if (task == "Assault-v5") return make_assault_game();
+  if (task == "Phoenix-v5") return make_phoenix_game();
+  if (task == "Gopher-v5") return make_gopher_game();
+  if (task == "NameThisGame-v5") return make_name_this_game_game();
+  if (task == "Riverraid-v5") return make_riverraid_game();
+  if (task == "KungFuMaster-v5") return make_kung_fu_master_game();
+  if (task == "Tennis-v5") return make_tennis_game();
+  if (task == "StarGunner-v5") return make_star_gunner_game();
   return nullptr;
 }
 
@@ -63,6 +81,10 @@ std::unique_ptr<Env> make_procgen(const std::string& task, const EnvOptions& opt
   if (task == "LeaperHard-v0") return make_leaper_env(opts, true);
   if (task == "Chaser-v0" || task == "ChaserEasy-v0") return make_chaser_env(opts, false);
   if (task == "ChaserHard-v0") return make_chaser_env(opts, true);
+  if (task == "Starpilot-v0" || task == "StarpilotEasy-v0") return make_starpilot_env(opts, false);
+  if (task == "StarpilotHard-v0") return make_starpilot_env(opts, true);
+  if (task == "Fruitbot-v0" || task == "FruitbotEasy-v0") return make_fruitbot_env(opts, false);
+  if (task == "FruitbotHard-v0") return make_fruitbot_env(opts, true);
   return nullptr;
 }
 

@@ -148,7 +148,11 @@ import pytest
 @pytest.mark.parametrize("env_id", ["Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
                                     "MsPacman-v5", "DemonAttack-v5",
                                     "Atlantis-v5", "FishingDerby-v5",
-                                    "Leaper-v0", "ChaserHard-v0"])
+                                    "Assault-v5", "Phoenix-v5", "Gopher-v5",
+                                    "NameThisGame-v5", "Riverraid-v5",
+                                    "KungFuMaster-v5", "Tennis-v5", "StarGunner-v5",
+                                    "Leaper-v0", "ChaserHard-v0",
+                                    "Starpilot-v0", "FruitbotHard-v0"])
 def test_new_games_train_step_on_mesh(eight_cpu_devices, env_id):
     """Every second-wave game runs through the full sharded Anakin update."""
     cfg, step, carry = _setup(env_id, "impala_cnn", n_envs=16, num_steps=4)

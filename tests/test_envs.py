@@ -153,7 +153,10 @@ def test_truncation_cap():
                                   "Boxing-v5", "Seaquest-v5", "Qbert-v5",
                                   "Asterix-v5", "MsPacman-v5", "DemonAttack-v5",
                                   "Enduro-v5", "Atlantis-v5", "Bowling-v5",
-                                  "FishingDerby-v5", "CrazyClimber-v5"])
+                                  "FishingDerby-v5", "CrazyClimber-v5",
+                                  "Assault-v5", "Phoenix-v5", "Gopher-v5",
+                                  "NameThisGame-v5", "Riverraid-v5",
+                                  "KungFuMaster-v5", "Tennis-v5", "StarGunner-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()
