@@ -74,12 +74,23 @@ def build_agent(cfg, action_dim: int, sample_obs, key: jax.Array, compute_dtype=
     b = sample_obs.shape[0]
     zeros_a = jnp.zeros((b,), jnp.int32)
     zeros_r = jnp.zeros((b,), jnp.float32)
-    if uses_prev:
-        network_params = trunk.init(net_key, sample_obs, zeros_a, zeros_r)
-    else:
-        network_params = trunk.init(net_key, sample_obs)
-    feats = apply_trunk(network_params, sample_obs, zeros_a, zeros_r)
-    params = AgentParams(network_params, actor.init(actor_key, feats), critic.init(critic_key, feats))
+
+    # One jitted program for the whole init instead of eager flax init calls:
+    # eager init issues dozens of tiny device ops, each paying a host<->device
+    # round trip (25ms+ on a tunneled chip -> tens of seconds of setup); a
+    # single compiled call pays one, and the compilation cache makes repeat
+    # processes (orchestrated sweeps) near-free.
+    def _init(net_key, actor_key, critic_key):
+        if uses_prev:
+            network_params = trunk.init(net_key, sample_obs, zeros_a, zeros_r)
+        else:
+            network_params = trunk.init(net_key, sample_obs)
+        feats = apply_trunk(network_params, sample_obs, zeros_a, zeros_r)
+        return AgentParams(
+            network_params, actor.init(actor_key, feats), critic.init(critic_key, feats)
+        )
+
+    params = jax.jit(_init)(net_key, actor_key, critic_key)
 
     def ppo_inference(p: AgentParams, obs, prev_a, prev_r, key):
         obs = jnp.asarray(obs)
