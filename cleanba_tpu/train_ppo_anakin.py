@@ -301,6 +301,10 @@ def train(cfg: PPOConfig, devices=None, writer=None):
     if own_writer:
         writer = make_writer(cfg, is_primary=True)
 
+    from cleanba_tpu.utils.watchdog import progress_guard_from_env
+
+    guard = progress_guard_from_env()
+    guard.beat()  # covers first-update compile + first sync
     steps_per_update = n_envs * cfg.num_steps
     start = time.time()
     run_steps = 0
@@ -312,6 +316,7 @@ def train(cfg: PPOConfig, devices=None, writer=None):
         if cfg.checkpoint_frequency > 0 and update % cfg.checkpoint_frequency == 0:
             host_state = jax.device_get(carry.agent_state)
             save_checkpoint(cfg.run_path, host_state, update, global_step)
+            guard.beat()
         if update % cfg.log_frequency == 0:
             loss, pg, v, ent, kl = jax.device_get(
                 (metrics.loss, metrics.pg_loss, metrics.v_loss,
@@ -335,7 +340,9 @@ def train(cfg: PPOConfig, devices=None, writer=None):
             writer.add_scalar("losses/entropy", float(ent), global_step)
             writer.add_scalar("losses/approx_kl", float(kl), global_step)
             last_metrics = dict(loss=float(loss), avg_episodic_return=float(avg_ret))
+            guard.beat()
 
+    guard.close()
     params = jax.device_get(carry.agent_state.params)
     stats = dict(
         global_step=global_step,

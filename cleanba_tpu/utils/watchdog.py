@@ -15,7 +15,13 @@ import os
 import sys
 import threading
 
-__all__ = ["start_watchdog", "maybe_start_watchdog_from_env"]
+__all__ = [
+    "start_watchdog",
+    "maybe_start_watchdog_from_env",
+    "ProgressGuard",
+    "progress_guard_from_env",
+    "heartbeat_guard",
+]
 
 _started = False
 
@@ -36,6 +42,38 @@ def maybe_start_watchdog_from_env() -> None:
             start_watchdog(float(val))
         except ValueError:
             pass
+
+
+class ProgressGuard:
+    """Abort the process (stack dumps + nonzero exit) if `beat()` is not
+    called within `timeout_s` — fail-fast for wedged device backends.
+
+    On a remote/tunneled chip a device fetch can stall indefinitely when the
+    transport degrades; under an orchestrator with retries+resume
+    (`cleanba_tpu.benchmark --retries`, checkpointed runs) dying promptly and
+    being relaunched loses minutes, not a whole job timeout. Enable in the
+    trainers with CLEANBA_PROGRESS_TIMEOUT=<seconds>; beats happen at every
+    log/checkpoint sync. A no-op when timeout_s <= 0.
+    """
+
+    def __init__(self, timeout_s: float):
+        self.timeout_s = float(timeout_s)
+
+    def beat(self) -> None:
+        if self.timeout_s > 0:
+            faulthandler.dump_traceback_later(self.timeout_s, exit=True)
+
+    def close(self) -> None:
+        if self.timeout_s > 0:
+            faulthandler.cancel_dump_traceback_later()
+
+
+def progress_guard_from_env() -> ProgressGuard:
+    try:
+        timeout = float(os.environ.get("CLEANBA_PROGRESS_TIMEOUT", "0"))
+    except ValueError:
+        timeout = 0.0
+    return ProgressGuard(timeout)
 
 
 def heartbeat_guard(timeout_s: float):

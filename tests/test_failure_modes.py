@@ -118,3 +118,32 @@ def test_resume_tb_steps_monotone(tmp_path):
         steps = _scalar_steps(cfg2.run_path, tag)
         assert steps == sorted(steps), f"{tag} steps regressed: {steps}"
         assert steps[-1] > max(phase1_actor), f"{tag} never advanced past phase 1"
+
+
+def test_progress_guard_kills_stalled_process():
+    """CLEANBA_PROGRESS_TIMEOUT: a process that stops beating dies promptly
+    with a nonzero exit (the orchestrator's --retries then relaunches it)."""
+    import subprocess
+    import sys
+    import time
+
+    code = (
+        "from cleanba_tpu.utils.watchdog import ProgressGuard\n"
+        "import time\n"
+        "g = ProgressGuard(1.0)\n"
+        "g.beat()\n"
+        "time.sleep(30)\n"  # never beats again -> guard fires at ~1s
+    )
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True, timeout=25)
+    assert proc.returncode != 0, "stalled process exited cleanly"
+    assert time.time() - t0 < 20, "guard did not fire promptly"
+    assert b"Timeout" in proc.stderr  # faulthandler stack dump emitted
+
+
+def test_progress_guard_disabled_is_noop():
+    from cleanba_tpu.utils.watchdog import ProgressGuard
+
+    g = ProgressGuard(0.0)
+    g.beat()
+    g.close()  # no exception, no timer armed
