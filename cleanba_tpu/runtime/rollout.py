@@ -286,7 +286,17 @@ def impala_rollout_thread(
     rollout_queue_put_time: deque = deque(maxlen=10)
 
     envs.async_reset()
-    storage: List[tuple] = []  # rows of (obs_dev[list], host fields...)
+    # Async accumulation, correct for sub-batch mode (async_batch_size <
+    # num_envs, the reference's TPU latency-hiding recipe, tpu.sh:20,26):
+    # each recv covers an arbitrary earliest-finished env subset, so rows are
+    # indexed PER ENV as (batch_key, position) references into a store of
+    # device-resident recv batches, and the [T+1, B] time-major trajectory is
+    # assembled with ONE device gather per field at pack time. With
+    # async_batch_size == num_envs this degenerates to the reference's
+    # full-pool behavior (every env once per recv).
+    batch_store: dict = {}               # key -> per-recv record
+    rows: List[List[tuple]] = [[] for _ in range(n_envs)]  # env -> [(key, pos)]
+    next_batch_key = 0
     prev_action_all = np.zeros(n_envs, np.int32)
     params = None
 
@@ -298,9 +308,10 @@ def impala_rollout_thread(
             update_time_start = time.time()
             seg = {"env_recv_time": 0.0, "inference_time": 0.0, "d2h_time": 0.0,
                    "env_send_time": 0.0, "storage_time": 0.0, "data_transfer_time": 0.0}
-            # T + 1 rows total; +1 more on the very first update since there is
-            # no carried bootstrap row yet (reference cleanba_impala.py:327-329).
-            num_steps_with_bootstrap = cfg.num_steps + 1 + int(len(storage) == 0)
+            # T + 1 rows per env; +1 more on the very first update since there
+            # is no carried bootstrap row yet (reference cleanba_impala.py:327-329).
+            carried = min(len(r) for r in rows)
+            num_steps_with_bootstrap = cfg.num_steps + 1 + int(carried == 0)
 
             if cfg.test_actor_learner_throughput and update > 1:
                 fetched = None  # decoupled: keep rolling on the first params
@@ -311,7 +322,7 @@ def impala_rollout_thread(
                 actor_policy_version += 1
 
             rollout_t0 = time.time()
-            while len(storage) < num_steps_with_bootstrap:
+            while min(len(r) for r in rows) < num_steps_with_bootstrap:
                 t0 = time.time()
                 obs_b, rew_b, term_b, trunc_b, info = envs.recv()
                 seg["env_recv_time"] += time.time() - t0
@@ -340,34 +351,54 @@ def impala_rollout_thread(
                 prev_action_all[env_ids] = cpu_action
 
                 t0 = time.time()
-                # Sort rows by env_id so time-major columns stay per-env aligned
-                # for V-trace (full-pool batches arrive in completion order).
-                order = np.argsort(env_ids)
                 done_b = (np.asarray(term_b) | np.asarray(trunc_b)).astype(np.float32)
-                storage.append((
-                    obs_dev, jnp.asarray(order), action, logits,
-                    done_b[order], env_ids[order].copy(), rew_b[order].astype(np.float32),
-                    np.asarray(trunc_b, np.float32)[order], np.asarray(term_b, np.float32)[order],
-                    first_b[order], prev_a_b[order], prev_r_b[order],
-                ))
+                batch_store[next_batch_key] = dict(
+                    obs=obs_dev, action=action, logits=logits,
+                    done=done_b, reward=rew_b.astype(np.float32),
+                    trunc=np.asarray(trunc_b, np.float32),
+                    term=np.asarray(term_b, np.float32),
+                    first=first_b, prev_a=prev_a_b, prev_r=prev_r_b,
+                )
+                for pos, env_id in enumerate(env_ids):
+                    rows[env_id].append((next_batch_key, pos))
+                next_batch_key += 1
                 stats.update(env_ids, info["reward"], term_b, trunc_b)
                 seg["storage_time"] += time.time() - t0
             rollout_time.append(time.time() - rollout_t0)
 
             t0 = time.time()
+            T1 = num_steps_with_bootstrap
+            keys_used = sorted({rows[e][t][0] for e in range(n_envs) for t in range(T1)})
+            slot = {k: i for i, k in enumerate(keys_used)}
+            k_idx = np.empty((T1, n_envs), np.int32)
+            p_idx = np.empty((T1, n_envs), np.int32)
+            for e in range(n_envs):
+                for t in range(T1):
+                    bkey, pos = rows[e][t]
+                    k_idx[t, e] = slot[bkey]
+                    p_idx[t, e] = pos
+
+            def dev_gather(field):
+                stacked = jnp.stack([batch_store[k][field] for k in keys_used])
+                return stacked[k_idx, p_idx]
+
+            def host_gather(field):
+                stacked = np.stack([batch_store[k][field] for k in keys_used])
+                return stacked[k_idx, p_idx]
+
             sharded_storage = ship_to_learners(
                 ImpalaStorage(
-                    obs=jnp.stack([jnp.take(r[0], r[1], axis=0) for r in storage]),
-                    dones=np.stack([r[4] for r in storage]),
-                    actions=jnp.stack([jnp.take(r[2], r[1], axis=0) for r in storage]),
-                    logitss=jnp.stack([jnp.take(r[3], r[1], axis=0) for r in storage]),
-                    env_ids=np.stack([r[5] for r in storage]),
-                    rewards=np.stack([r[6] for r in storage]),
-                    truncations=np.stack([r[7] for r in storage]),
-                    terminations=np.stack([r[8] for r in storage]),
-                    firststeps=np.stack([r[9] for r in storage]),
-                    prev_actions=np.stack([r[10] for r in storage]),
-                    prev_rewards=np.stack([r[11] for r in storage]),
+                    obs=dev_gather("obs"),
+                    dones=host_gather("done"),
+                    actions=dev_gather("action"),
+                    logitss=dev_gather("logits"),
+                    env_ids=np.tile(np.arange(n_envs, dtype=np.int32), (T1, 1)),
+                    rewards=host_gather("reward"),
+                    truncations=host_gather("trunc"),
+                    terminations=host_gather("term"),
+                    firststeps=host_gather("first"),
+                    prev_actions=host_gather("prev_a"),
+                    prev_rewards=host_gather("prev_r"),
                 ),
                 topo,
             )
@@ -380,9 +411,12 @@ def impala_rollout_thread(
                 rollout_queue.put(payload)
             rollout_queue_put_time.append(time.time() - t0)
 
-            # Carry the bootstrap row into the next iteration
-            # (reference cleanba_impala.py:415-416).
-            storage = storage[-1:]
+            # Carry the bootstrap row (last consumed) plus any overshoot rows
+            # into the next iteration (reference cleanba_impala.py:415-416),
+            # and prune batches no longer referenced.
+            rows = [r[T1 - 1:] for r in rows]
+            live = {bkey for r in rows for bkey, _ in r}
+            batch_store = {k: v for k, v in batch_store.items() if k in live}
 
             _write_rollout_scalars(
                 writer, cfg, stats, global_step, update, start_time, update_time_start,

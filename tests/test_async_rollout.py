@@ -1,0 +1,116 @@
+"""Async sub-batch IMPALA rollout alignment (the tpu.sh latency-hiding mode).
+
+With `async_batch_size < num_envs` every recv covers an arbitrary
+earliest-finished env subset; the rollout must reassemble time-major
+[T+1, B] trajectories where column b is env b's own consecutive steps. A
+fake async env whose observation encodes (env_id, step) makes any
+misalignment (the round-2 bug: rows = raw recv batches) immediately visible.
+"""
+
+import queue
+import threading
+
+import numpy as np
+import pytest
+
+from cleanba_tpu.config import ImpalaConfig
+from cleanba_tpu.parallel.topology import build_topology
+from cleanba_tpu.runtime.agent import build_agent
+from cleanba_tpu.runtime.rollout import impala_rollout_thread
+
+
+class _FakeAsyncEnv:
+    """Round-robin-ish async env: recv returns rotating sub-batches in a
+    scrambled order; obs[..., 0] = env_id, obs[..., 1] = per-env step."""
+
+    def __init__(self, num_envs, batch_size, obs_dim=4):
+        self.num_envs = num_envs
+        self.batch_size = batch_size
+        self.obs_dim = obs_dim
+        self.step_count = np.zeros(num_envs, np.int64)
+        self._cursor = 0
+
+    def async_reset(self):
+        self._cursor = 0
+
+    def recv(self):
+        ids = (np.arange(self.batch_size) + self._cursor) % self.num_envs
+        self._cursor = (self._cursor + self.batch_size) % self.num_envs
+        ids = ids[::-1].copy()  # completion order is not id order
+        obs = np.zeros((self.batch_size, self.obs_dim), np.float32)
+        obs[:, 0] = ids
+        obs[:, 1] = self.step_count[ids]
+        reward = ids.astype(np.float32) / 10.0
+        term = np.zeros(self.batch_size, bool)
+        trunc = np.zeros(self.batch_size, bool)
+        info = {
+            "env_ids": ids.astype(np.int32),
+            "elapsed_step": self.step_count[ids].copy(),
+            "reward": reward,
+        }
+        return obs, reward, term, trunc, info
+
+    def send(self, actions, env_ids):
+        self.step_count[env_ids] += 1
+
+    def close(self):
+        pass
+
+
+class _CaptureQueue:
+    def __init__(self):
+        self.payloads = []
+
+    def put(self, payload, **kw):
+        self.payloads.append(payload)
+
+
+class _StaticParams:
+    def __init__(self, params):
+        self.params = params
+
+    def get(self, update):
+        return self.params
+
+
+@pytest.mark.parametrize("batch_size", [8, 4, 2])
+def test_async_subbatch_columns_are_per_env_time_series(batch_size):
+    n_envs, T = 8, 6
+    cfg = ImpalaConfig(
+        env_id="CartPole-v1", network="mlp", hiddens=[16],
+        local_num_envs=n_envs, async_batch_size=batch_size, num_steps=T,
+        num_actor_threads=1, num_minibatches=2, total_timesteps=n_envs * T * 3,
+        concurrency=True, log_frequency=10 ** 9, env_backend="python",
+    )
+    cfg.resolve()
+    import jax
+
+    topo = build_topology(cfg.actor_device_ids, cfg.learner_device_ids)
+    agent = build_agent(cfg, 2, np.zeros((1, 4), np.float32), jax.random.PRNGKey(0))
+    out_q = _CaptureQueue()
+    impala_rollout_thread(
+        jax.random.PRNGKey(1), cfg, lambda: _FakeAsyncEnv(n_envs, batch_size),
+        agent, out_q, _StaticParams(agent.init_params),
+        __import__("cleanba_tpu.utils.metrics", fromlist=["DummyWriter"]).DummyWriter(),
+        topo, jax.devices()[0], 0,
+    )
+    assert len(out_q.payloads) == cfg.num_updates + 1
+    prev_last_step = None
+    for payload in out_q.payloads:
+        storage = payload[3]
+        obs = np.asarray(storage.obs)          # [T1, B, 4]
+        T1, B = obs.shape[:2]
+        assert B == n_envs
+        env_col = obs[:, :, 0]
+        step_col = obs[:, :, 1]
+        # Column b holds env b only.
+        assert (env_col == np.arange(n_envs)[None, :]).all(), "env columns mixed"
+        # And its steps are consecutive down the time axis.
+        assert (np.diff(step_col, axis=0) == 1).all(), "time axis not consecutive"
+        # Rewards stay paired with their env (reward = env_id / 10).
+        rew = np.asarray(storage.rewards)
+        assert np.allclose(rew, np.arange(n_envs)[None, :] / 10.0)
+        # Bootstrap carry: this update's first row is last update's last row.
+        if prev_last_step is not None:
+            assert (step_col[0] == prev_last_step).all(), "bootstrap row not carried"
+        prev_last_step = step_col[-1]
