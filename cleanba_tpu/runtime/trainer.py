@@ -243,6 +243,10 @@ def train(cfg) -> dict:
         writer.close()
         return stats
     tracer = TraceWindow(cfg.trace_dir)
+    from cleanba_tpu.utils.watchdog import progress_guard_from_env
+
+    guard = progress_guard_from_env()
+    guard.beat()  # covers first-update compile + first sync
     rollout_queue_get_time: deque = deque(maxlen=10)
     learner_policy_version = start_update
     global_step = initial_global_step
@@ -314,6 +318,11 @@ def train(cfg) -> dict:
             if hasattr(m, "approx_kl"):
                 writer.add_scalar("losses/approx_kl", m.approx_kl, global_step)
 
+        if learner_policy_version % cfg.log_frequency == 0 or (
+            cfg.checkpoint_frequency
+            and learner_policy_version % cfg.checkpoint_frequency == 0
+        ):
+            guard.beat()  # fail fast if the device transport stalls
         if (
             cfg.checkpoint_frequency
             and cfg.local_rank == 0
@@ -328,6 +337,7 @@ def train(cfg) -> dict:
         if learner_policy_version >= cfg.num_updates:
             break
     tracer.close()
+    guard.close()
     steady_sps = 0
     if steady_t0 is not None and global_step > steady_step0:
         steady_sps = int((global_step - steady_step0) / max(time.time() - steady_t0, 1e-9))
