@@ -171,7 +171,12 @@ def bench_sebulba(algo: str, num_updates: int = 12) -> float:
         cfg = PPOConfig(num_steps=128, update_epochs=4,
                         total_timesteps=128 * 128 * num_updates, **common)
     else:
-        cfg = ImpalaConfig(num_steps=20,
+        # asap=True (fully-async actors, no params handshake) measured +11%
+        # over the handshake mode in the async lever sweep
+        # (static/perf_sweep.jsonl: 1297 vs 1168 SPS); sub-batching
+        # (--async-batch-size < pool) LOSES on this tunneled host because
+        # every extra inference call pays the ~25ms RTT (701@64, 463@32).
+        cfg = ImpalaConfig(num_steps=20, asap=True,
                            total_timesteps=128 * 20 * max(num_updates, 30), **common)
     import contextlib
 

@@ -109,7 +109,9 @@ def main(argv=None) -> None:
         "",
         "The reference's headline is ~165% median HNS over Atari-57 at **50M**",
         "steps per game (/root/reference/README.md:14); the table below is",
-        "**10M** steps per game (1/5 the budget) over the native catalog, so",
+        f"**~{(int(np.median(list(final_steps.values()))) / 1e6):.0f}M** steps per "
+        f"game (1/{50e6 / max(np.median(list(final_steps.values())), 1):.0f} the "
+        "budget) over the native catalog, so",
         "per-game scores are mid-curve, not final. Breakout's full-length run",
         "(CURVES.md) shows the 50M endpoint exceeds the reference's 1-GPU",
         "result; these curves are on the same trajectory.",
