@@ -21,6 +21,7 @@ All functions are single-env; batch with `jax.vmap`, shard with a mesh.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -269,6 +270,9 @@ def _games():
     from cleanba_tpu.envs.jax_games_wave6 import (
         KUNG_FU_MASTER, RIVERRAID, STAR_GUNNER, TENNIS,
     )
+    from cleanba_tpu.envs.jax_games_wave7 import (
+        AMIDAR, BANK_HEIST, TIME_PILOT, UP_N_DOWN,
+    )
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -295,6 +299,10 @@ def _games():
         "KungFuMaster-v5": KUNG_FU_MASTER,
         "Tennis-v5": TENNIS,
         "StarGunner-v5": STAR_GUNNER,
+        "Amidar-v5": AMIDAR,
+        "BankHeist-v5": BANK_HEIST,
+        "UpNDown-v5": UP_N_DOWN,
+        "TimePilot-v5": TIME_PILOT,
     }
 
 
@@ -447,12 +455,17 @@ class JaxAtariEnv:
         # ~30% of rollout time in loop overhead alone on a v5e (while.478 in
         # the trace). unroll=2 halves that overhead; unroll=True removes it
         # entirely but blows compile time up ~5x (516s vs 95s for the Anakin
-        # PPO program on the remote compiler), so 2 is the balance point.
+        # PPO program on the remote compiler), so 2 is the runtime balance
+        # point. Compile time scales the same way DOWN: unroll=1 compiles
+        # each new game several times faster at ~15% runtime cost, which is
+        # the right trade for catalog-wide sweeps that compile 28 distinct
+        # game programs once each (CLEANBA_FRAMESKIP_UNROLL=1, set by
+        # scripts/run_hns_sweep.sh).
         (core, raw0, reward, _), _ = jax.lax.scan(
             skip_body,
             (state.core, state.raw0, jnp.float32(0.0), jnp.bool_(False)),
             jnp.arange(self.frame_skip),
-            unroll=2,
+            unroll=int(os.environ.get("CLEANBA_FRAMESKIP_UNROLL", "2")),
         )
         raw1 = self.game["render"](core)
         frame = jnp.maximum(raw0, raw1)

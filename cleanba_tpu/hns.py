@@ -44,6 +44,10 @@ ATARI_SCORES: Dict[str, tuple] = {
     "KungFuMaster-v5": (258.5, 22736.3),
     "Tennis-v5": (-23.8, -8.3),
     "StarGunner-v5": (664.0, 10250.0),
+    "Amidar-v5": (5.8, 1719.5),
+    "BankHeist-v5": (14.2, 753.1),
+    "UpNDown-v5": (533.4, 11693.2),
+    "TimePilot-v5": (3568.0, 5229.2),
 }
 
 

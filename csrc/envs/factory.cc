@@ -33,6 +33,10 @@ std::unique_ptr<Game> make_riverraid_game();
 std::unique_ptr<Game> make_kung_fu_master_game();
 std::unique_ptr<Game> make_tennis_game();
 std::unique_ptr<Game> make_star_gunner_game();
+std::unique_ptr<Game> make_amidar_game();
+std::unique_ptr<Game> make_bank_heist_game();
+std::unique_ptr<Game> make_up_n_down_game();
+std::unique_ptr<Game> make_time_pilot_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -67,6 +71,10 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "KungFuMaster-v5") return make_kung_fu_master_game();
   if (task == "Tennis-v5") return make_tennis_game();
   if (task == "StarGunner-v5") return make_star_gunner_game();
+  if (task == "Amidar-v5") return make_amidar_game();
+  if (task == "BankHeist-v5") return make_bank_heist_game();
+  if (task == "UpNDown-v5") return make_up_n_down_game();
+  if (task == "TimePilot-v5") return make_time_pilot_game();
   return nullptr;
 }
 

@@ -4,12 +4,16 @@
 # then scripts/hns_aggregate.py turns the tfevents into HNS.md.
 #
 # Budgeted for one tunneled TPU v5e chip: Anakin IMPALA (the fastest
-# learning path, ~45-55k env-steps/s) at --total-timesteps steps per run.
-# The seed-1 pass over all games runs before the seed-2 pass so that a
-# partially-completed sweep still covers the full catalog.
+# learning path, ~34k env-steps/s inside the full trainer loop) at
+# --total-timesteps steps per run. The seed-1 pass over all games runs
+# before the seed-2 pass so that a partially-completed sweep still covers
+# the full catalog. Each (game, seed) job is launched through its own
+# orchestrator invocation and leaves a .done marker, so a crashed or killed
+# sweep resumes where it left off and one game's failure never aborts the
+# rest of the catalog.
 #
 #   bash scripts/run_hns_sweep.sh 4000000 runs/hns_sweep
-set -euo pipefail
+set -uo pipefail
 cd "$(dirname "$0")/.."
 
 STEPS="${1:-4000000}"
@@ -17,7 +21,12 @@ RUN_DIR="${2:-runs/hns_sweep}"
 GAMES=$(python -c "from cleanba_tpu.envs import NATIVE_ATARI_TASKS as T; print(' '.join(T))")
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
-export CLEANBA_PROGRESS_TIMEOUT="${CLEANBA_PROGRESS_TIMEOUT:-180}"
+# Generous: first-compile through the tunnel can exceed 3 min under host load.
+export CLEANBA_PROGRESS_TIMEOUT="${CLEANBA_PROGRESS_TIMEOUT:-600}"
+# Trade ~15% env-step runtime for a several-x cheaper per-game first compile
+# (28 distinct game programs compile once each; see jax_engine.py step()).
+export CLEANBA_FRAMESKIP_UNROLL="${CLEANBA_FRAMESKIP_UNROLL:-1}"
+mkdir -p "$RUN_DIR"
 
 CMD="python -m cleanba_tpu.train_impala_anakin \
   --local-num-envs 128 --num-steps 20 --bf16 \
@@ -25,8 +34,19 @@ CMD="python -m cleanba_tpu.train_impala_anakin \
   --run-dir $RUN_DIR --run-name hns_{env_id}_s{seed}"
 
 for SEED in 1 2; do
-  python -m cleanba_tpu.benchmark \
-    --env-ids $GAMES --num-seeds 1 --start-seed "$SEED" \
-    --timeout-minutes 12 --retries 1 --no-auto-tag \
-    --command "$CMD"
+  for GAME in $GAMES; do
+    MARK="$RUN_DIR/.done_${GAME}_s${SEED}"
+    if [ -e "$MARK" ]; then
+      echo "skip $GAME seed $SEED (done)"
+      continue
+    fi
+    if python -m cleanba_tpu.benchmark \
+        --env-ids "$GAME" --num-seeds 1 --start-seed "$SEED" \
+        --timeout-minutes 14 --retries 1 --no-auto-tag \
+        --command "$CMD"; then
+      touch "$MARK"
+    else
+      echo "FAILED $GAME seed $SEED (continuing)"
+    fi
+  done
 done

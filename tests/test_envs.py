@@ -156,7 +156,9 @@ def test_truncation_cap():
                                   "FishingDerby-v5", "CrazyClimber-v5",
                                   "Assault-v5", "Phoenix-v5", "Gopher-v5",
                                   "NameThisGame-v5", "Riverraid-v5",
-                                  "KungFuMaster-v5", "Tennis-v5", "StarGunner-v5"])
+                                  "KungFuMaster-v5", "Tennis-v5", "StarGunner-v5",
+                                  "Amidar-v5", "BankHeist-v5", "UpNDown-v5",
+                                  "TimePilot-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()

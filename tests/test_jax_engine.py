@@ -670,3 +670,116 @@ def test_wave5_procgen_contract(task):
             break
     assert terms > 0, f"{task}: never terminated"
     assert moved > 0, f"{task}: reward never moved"
+
+
+# ---------------------------------------------------------------------------
+# Wave-7 games (Amidar, BankHeist, UpNDown, TimePilot) — parity + contract
+# ---------------------------------------------------------------------------
+
+_WAVE7 = ["Amidar-v5", "BankHeist-v5", "UpNDown-v5", "TimePilot-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE7)
+def test_wave7_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE7)
+def test_wave7_random_walk_contract(task):
+    """Random play moves the score and every wave-7 game terminates."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    moved, saw_term = 0.0, False
+    for i in range(4000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        moved += abs(float(rr))
+        if bool(term):
+            saw_term = True
+        if saw_term and moved > 0:
+            break
+    assert saw_term, f"{task}: no episode ever terminated"
+    assert moved > 0, f"{task}: score never moved under a random walk"
+
+
+def test_amidar_painting_and_box_bonus():
+    """Walking the full bottom-left box perimeter pays +1 per fresh cell and
+    the +48 box bonus on completion (amidar.cc kBoxes[16])."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Amidar-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    # Player starts at cell (12, 9). Box 18 spans rows 9-12, cols 6-12.
+    # Trace its perimeter: left along the bottom line to col 6, up to row 9,
+    # right along that line to col 12, down to row 12, back to col 9.
+    # Directions (full action set): 4=LEFT, 2=UP, 3=RIGHT, 5=DOWN.
+    path = [4] * 3 + [2] * 3 + [3] * 6 + [5] * 3 + [4] * 3
+    total = 0.0
+    for a in path:  # frameskip=4 covers the 4 raw px per cell: 1 step per cell
+        state, _, r, rr, term, trunc, first = step(state, jnp.int32(a))
+        total += float(rr)
+    assert total >= 48.0 + 10.0, f"box bonus not paid (total {total})"
+
+
+def test_bank_heist_rob_bank_rewards():
+    """Driving to the centre bank (2 cells from spawn) pays the +50 robbery
+    reward and spawns a delayed police pursuit (bank_heist.cc:96-115)."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("BankHeist-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    # Spawn (11, 8) -> up twice -> right once reaches bank (9, 9).
+    for a in [2, 2, 3]:
+        state, _, r, rr, *_ = step(state, jnp.int32(a))
+        total += float(rr)
+    assert total >= 50.0, f"bank not robbed (total {total})"
+
+
+def test_up_n_down_flags_score_on_cruise():
+    """Cruising pays the +10 flag reward roughly every 160/0.7 raw frames
+    (up_n_down.cc flags)."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("UpNDown-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    for _ in range(120):  # 480 raw frames of cruise: >= 2 flags
+        state, _, r, rr, term, *_ = step(state, jnp.int32(0))
+        total += float(rr)
+        if bool(term):
+            break
+    assert total >= 20.0, f"flags not collected (total {total})"
+
+
+def test_time_pilot_fire_scores_and_wave_bonus():
+    """Sustained fire at the converging wave racks up kills; clearing the
+    8-kill wave pays the +1000 era bonus (time_pilot.cc:118-136)."""
+    rng = np.random.default_rng(1)
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("TimePilot-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(3))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    fire_dirs = [1, 10, 11, 12, 13, 14, 15, 16, 17]  # every FIRE variant
+    for i in range(2000):  # episodes auto-reset; accumulate across them
+        a = fire_dirs[int(rng.integers(0, len(fire_dirs)))]
+        state, _, r, rr, term, *_ = step(state, jnp.int32(a))
+        total += float(rr)
+        if total >= 1100.0:
+            break
+    assert total >= 1100.0, f"sustained fire scored too little ({total}); the " \
+        "+100 kills and +1000 wave bonus should clear 1100 well inside 2000 steps"
