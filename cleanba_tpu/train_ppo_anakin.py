@@ -339,6 +339,10 @@ def train(cfg: PPOConfig, devices=None, writer=None):
             writer.add_scalar("losses/value_loss", float(v), global_step)
             writer.add_scalar("losses/entropy", float(ent), global_step)
             writer.add_scalar("losses/approx_kl", float(kl), global_step)
+            # Flush at every log boundary so a killed/hung run still leaves
+            # its scalars on disk (tensorboardX buffers otherwise).
+            if hasattr(writer, "flush"):
+                writer.flush()
             last_metrics = dict(loss=float(loss), avg_episodic_return=float(avg_ret))
             guard.beat()
 
