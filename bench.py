@@ -27,8 +27,17 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# Reuse the repo's persistent XLA compile cache (populated by sweeps and
+# earlier bench runs) — first-compile through the tunneled remote compiler
+# costs minutes per program otherwise. Must be set before jax imports.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 BASELINE_SPS = 50_000_000 / (154.079 * 60)  # reference 1xA100 Breakout PPO
 
