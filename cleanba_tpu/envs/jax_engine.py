@@ -273,6 +273,7 @@ def _games():
     from cleanba_tpu.envs.jax_games_wave7 import (
         AMIDAR, BANK_HEIST, TIME_PILOT, UP_N_DOWN,
     )
+    from cleanba_tpu.envs.jax_games_wave8 import ALIEN, ROAD_RUNNER
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -303,6 +304,8 @@ def _games():
         "BankHeist-v5": BANK_HEIST,
         "UpNDown-v5": UP_N_DOWN,
         "TimePilot-v5": TIME_PILOT,
+        "Alien-v5": ALIEN,
+        "RoadRunner-v5": ROAD_RUNNER,
     }
 
 

@@ -48,6 +48,8 @@ ATARI_SCORES: Dict[str, tuple] = {
     "BankHeist-v5": (14.2, 753.1),
     "UpNDown-v5": (533.4, 11693.2),
     "TimePilot-v5": (3568.0, 5229.2),
+    "Alien-v5": (227.8, 7127.7),
+    "RoadRunner-v5": (11.5, 7845.0),
 }
 
 

@@ -37,6 +37,8 @@ std::unique_ptr<Game> make_amidar_game();
 std::unique_ptr<Game> make_bank_heist_game();
 std::unique_ptr<Game> make_up_n_down_game();
 std::unique_ptr<Game> make_time_pilot_game();
+std::unique_ptr<Game> make_alien_game();
+std::unique_ptr<Game> make_road_runner_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -75,6 +77,8 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "BankHeist-v5") return make_bank_heist_game();
   if (task == "UpNDown-v5") return make_up_n_down_game();
   if (task == "TimePilot-v5") return make_time_pilot_game();
+  if (task == "Alien-v5") return make_alien_game();
+  if (task == "RoadRunner-v5") return make_road_runner_game();
   return nullptr;
 }
 

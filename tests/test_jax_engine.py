@@ -783,3 +783,78 @@ def test_time_pilot_fire_scores_and_wave_bonus():
             break
     assert total >= 1100.0, f"sustained fire scored too little ({total}); the " \
         "+100 kills and +1000 wave bonus should clear 1100 well inside 2000 steps"
+
+
+# ---------------------------------------------------------------------------
+# Wave-8 games (Alien, RoadRunner) — parity + contract
+# ---------------------------------------------------------------------------
+
+_WAVE8 = ["Alien-v5", "RoadRunner-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE8)
+def test_wave8_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE8)
+def test_wave8_random_walk_contract(task):
+    """Random play moves the score and every wave-8 game terminates."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    moved, saw_term = 0.0, False
+    for i in range(4000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        moved += abs(float(rr))
+        if bool(term):
+            saw_term = True
+        if saw_term and moved > 0:
+            break
+    assert saw_term, f"{task}: no episode ever terminated"
+    assert moved > 0, f"{task}: score never moved under a random walk"
+
+
+def test_alien_eggs_pay_ten():
+    """Walking the spawn corridor crushes eggs at +10 each (alien.cc:95-99)."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+    jenv = make_jax_env("Alien-v5", opts)
+    state, _ = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    total = 0.0
+    for a in [4, 2, 2]:  # LEFT to (13,8), then UP the c8 corridor: all eggs
+        state, _, r, rr, *_ = step(state, jnp.int32(a))
+        total += float(rr)
+    assert total >= 30.0, f"eggs not crushed (total {total})"
+
+
+def test_road_runner_sprint_outruns_jog():
+    """Sprinting (UP) holds the coyote off far longer than easing off (DOWN):
+    the closing model (road_runner.cc:66-74) must reward pace."""
+    opts = dict(PROTOCOLS["machado"])
+    opts["repeat_action_probability"] = 0.0
+
+    def steps_survived(action):
+        jenv = make_jax_env("RoadRunner-v5", opts)
+        state, _ = jenv.reset(jax.random.PRNGKey(0))
+        step = jax.jit(jenv.step)
+        for i in range(400):
+            state, _, r, rr, term, *_ = step(state, jnp.int32(action))
+            if bool(term):
+                return i
+        return 400
+
+    sprint = steps_survived(2)   # UP
+    ease = steps_survived(5)     # DOWN
+    assert ease < 60, f"easing off should be caught quickly ({ease})"
+    assert sprint > ease * 3, f"sprint {sprint} vs ease {ease}"
