@@ -67,6 +67,8 @@ class CommonConfig:
     "the number of parallel game environments per actor thread"
     async_batch_size: int = 0
     "EnvPool-style async sub-batch size; 0 means fully synchronous stepping"
+    inference_pipeline_depth: int = 1
+    "async-rollout dispatch pipelining: keep up to D sub-batches' inference in flight before fetching the oldest batch's actions, so host<->device round trips overlap instead of serializing (reference actor_threads_concat re-done as dispatch pipelining; useless unless async_batch_size < local_num_envs)"
     env_backend: str = "auto"
     "environment engine backend: 'auto', 'native' (C++), or 'python'"
 

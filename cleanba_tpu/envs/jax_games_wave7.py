@@ -876,7 +876,7 @@ def _tp_act(s: TimePilotCore, dx, dy, fire, key):
     world_x = s.world_x + wx
     world_y = s.world_y + wy
 
-    k_spawn, k_shoot, k_which, k_re = jax.random.split(key, 4)
+    k_spawn, k_shoot, k_which, k_re, k_ram = jax.random.split(key, 5)
 
     # ---- player fire: first free shot slot ---------------------------------
     free = ~s.ps_live
@@ -971,7 +971,11 @@ def _tp_act(s: TimePilotCore, dx, dy, fire, key):
         (ex - _TP_CX > -4.0) & (ex - _TP_CX < 4.0)
         & (ey - _TP_CY > -3.5) & (ey - _TP_CY < 3.5)
     )
-    ram_keys = jax.random.split(k_re, _TP_ENEMIES + 1)[1:]
+    # Independent key from the off-screen respawns above: split() is
+    # prefix-consistent, so deriving both families from k_re would alias
+    # ram_keys[e] == re_keys[e+1] and stack two enemies onto one spawn point
+    # whenever enemy e rams while enemy e+1 scrolls off in the same frame.
+    ram_keys = jax.random.split(k_ram, _TP_ENEMIES)
     rx, ry = jax.vmap(_tp_edge_spawn)(ram_keys)
     rvx, rvy = _tp_inward_v(rx, ry)
     ex = jnp.where(ram, rx, ex)

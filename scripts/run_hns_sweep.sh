@@ -12,12 +12,15 @@
 # sweep resumes where it left off and one game's failure never aborts the
 # rest of the catalog.
 #
-#   bash scripts/run_hns_sweep.sh 4000000 runs/hns_sweep
+#   bash scripts/run_hns_sweep.sh 10000000 runs/hns10m
+#
+# Graceful hand-off: `touch <RUN_DIR>/.stop` makes the sweep exit cleanly
+# after the in-flight game finishes (markers make the next launch resume).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-STEPS="${1:-4000000}"
-RUN_DIR="${2:-runs/hns_sweep}"
+STEPS="${1:-10000000}"
+RUN_DIR="${2:-runs/hns10m}"
 GAMES=$(python -c "from cleanba_tpu.envs import NATIVE_ATARI_TASKS as T; print(' '.join(T))")
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
@@ -35,6 +38,10 @@ CMD="python -m cleanba_tpu.train_impala_anakin \
 
 for SEED in 1 2; do
   for GAME in $GAMES; do
+    if [ -e "$RUN_DIR/.stop" ]; then
+      echo "stop requested; exiting cleanly"
+      exit 0
+    fi
     MARK="$RUN_DIR/.done_${GAME}_s${SEED}"
     if [ -e "$MARK" ]; then
       echo "skip $GAME seed $SEED (done)"
@@ -42,7 +49,7 @@ for SEED in 1 2; do
     fi
     if python -m cleanba_tpu.benchmark \
         --env-ids "$GAME" --num-seeds 1 --start-seed "$SEED" \
-        --timeout-minutes 14 --retries 1 --no-auto-tag \
+        --timeout-minutes 25 --retries 1 --no-auto-tag \
         --command "$CMD"; then
       touch "$MARK"
     else

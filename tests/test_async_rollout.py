@@ -114,3 +114,84 @@ def test_async_subbatch_columns_are_per_env_time_series(batch_size):
         if prev_last_step is not None:
             assert (step_col[0] == prev_last_step).all(), "bootstrap row not carried"
         prev_last_step = step_col[-1]
+
+
+class _StrictAsyncEnv(_FakeAsyncEnv):
+    """Fake async env with REAL async-API semantics: an env appears in a recv
+    batch only after its previous action was sent (it is 'stepping' until
+    then). recv raises instead of blocking if fewer than batch_size envs are
+    ready — in a single-threaded rollout that is a deadlock, which is exactly
+    what a depth-clamping bug in the dispatch pipeline would cause."""
+
+    def __init__(self, num_envs, batch_size, obs_dim=4):
+        super().__init__(num_envs, batch_size, obs_dim)
+        self.ready = list(range(num_envs))
+
+    def async_reset(self):
+        self._cursor = 0
+        self.ready = list(range(self.num_envs))
+
+    def recv(self):
+        if len(self.ready) < self.batch_size:
+            raise RuntimeError(
+                f"recv deadlock: only {len(self.ready)} envs ready, "
+                f"batch_size={self.batch_size} (pipeline over-parked envs)"
+            )
+        ids = np.asarray(self.ready[: self.batch_size][::-1], np.int64)
+        self.ready = self.ready[self.batch_size:]
+        obs = np.zeros((len(ids), self.obs_dim), np.float32)
+        obs[:, 0] = ids
+        obs[:, 1] = self.step_count[ids]
+        reward = ids.astype(np.float32) / 10.0
+        term = np.zeros(len(ids), bool)
+        trunc = np.zeros(len(ids), bool)
+        info = {
+            "env_ids": ids.astype(np.int32),
+            "elapsed_step": self.step_count[ids].copy(),
+            "reward": reward,
+        }
+        return obs, reward, term, trunc, info
+
+    def send(self, actions, env_ids):
+        self.step_count[env_ids] += 1
+        self.ready.extend(int(e) for e in env_ids)
+
+
+@pytest.mark.parametrize("batch_size,depth", [(2, 2), (2, 4), (4, 2), (2, 16), (8, 4)])
+def test_pipelined_dispatch_keeps_columns_aligned(batch_size, depth):
+    """With inference_pipeline_depth > 1 (dispatch batch B before fetching
+    batch A's actions) trajectories must still be per-env time series, and the
+    depth must self-clamp so recv never starves (depth=16 > num_sub_batches
+    and batch_size=8 == num_envs both exercise the clamp)."""
+    n_envs, T = 8, 6
+    cfg = ImpalaConfig(
+        env_id="CartPole-v1", network="mlp", hiddens=[16],
+        local_num_envs=n_envs, async_batch_size=batch_size, num_steps=T,
+        inference_pipeline_depth=depth,
+        num_actor_threads=1, num_minibatches=2, total_timesteps=n_envs * T * 3,
+        concurrency=True, log_frequency=10 ** 9, env_backend="python",
+    )
+    cfg.resolve()
+    import jax
+
+    topo = build_topology(cfg.actor_device_ids, cfg.learner_device_ids)
+    agent = build_agent(cfg, 2, np.zeros((1, 4), np.float32), jax.random.PRNGKey(0))
+    out_q = _CaptureQueue()
+    impala_rollout_thread(
+        jax.random.PRNGKey(1), cfg, lambda: _StrictAsyncEnv(n_envs, batch_size),
+        agent, out_q, _StaticParams(agent.init_params),
+        __import__("cleanba_tpu.utils.metrics", fromlist=["DummyWriter"]).DummyWriter(),
+        topo, jax.devices()[0], 0,
+    )
+    assert len(out_q.payloads) == cfg.num_updates + 1
+    prev_last_step = None
+    for payload in out_q.payloads:
+        storage = payload[3]
+        obs = np.asarray(storage.obs)
+        env_col, step_col = obs[:, :, 0], obs[:, :, 1]
+        assert (env_col == np.arange(n_envs)[None, :]).all(), "env columns mixed"
+        assert (np.diff(step_col, axis=0) == 1).all(), "time axis not consecutive"
+        assert np.allclose(np.asarray(storage.rewards), np.arange(n_envs)[None, :] / 10.0)
+        if prev_last_step is not None:
+            assert (step_col[0] == prev_last_step).all(), "bootstrap row not carried"
+        prev_last_step = step_col[-1]

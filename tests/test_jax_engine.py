@@ -412,7 +412,7 @@ def test_wave3_random_walk_contract(task):
     saw_term, total = False, 0.0
     needs_term = task != "Enduro-v5"
     for i in range(4000):
-        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
         total += float(rr)
         if bool(term):
             saw_term = True
@@ -485,7 +485,7 @@ def test_wave4_random_walk_contract(task):
     step = jax.jit(jenv.step)
     pos, neg, saw_term = 0.0, 0.0, False
     for i in range(4000):
-        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
         rr = float(rr)
         pos += max(rr, 0.0)
         neg += min(rr, 0.0)
@@ -579,7 +579,7 @@ def test_wave56_random_walk_contract(task):
     step = jax.jit(jenv.step)
     pos, neg, saw_term = 0.0, 0.0, False
     for i in range(4000):
-        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
         rr = float(rr)
         pos += max(rr, 0.0)
         neg += min(rr, 0.0)
@@ -618,7 +618,7 @@ def test_tennis_set_structure_terminates():
     step = jax.jit(jenv.step)
     total, term = 0.0, False
     for t in range(8000):
-        state, obs, r, raw, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        state, obs, r, raw, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
         total += float(raw)
         if bool(term):
             break
@@ -701,7 +701,7 @@ def test_wave7_random_walk_contract(task):
     step = jax.jit(jenv.step)
     moved, saw_term = 0.0, False
     for i in range(4000):
-        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
         moved += abs(float(rr))
         if bool(term):
             saw_term = True
@@ -814,7 +814,7 @@ def test_wave8_random_walk_contract(task):
     step = jax.jit(jenv.step)
     moved, saw_term = 0.0, False
     for i in range(4000):
-        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, 18))))
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
         moved += abs(float(rr))
         if bool(term):
             saw_term = True
