@@ -19,3 +19,14 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even where a sitecustomize hook pinned jax_platforms to
+# a hardware plugin at interpreter start (the env var alone is read before the
+# hook runs and loses): CLI runs with JAX_PLATFORMS=cpu must actually get CPU,
+# e.g. to drive trainers while the chip is held by another process.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])

@@ -70,7 +70,8 @@ NATIVE_ATARI_TASKS = (
     "Assault-v5", "Phoenix-v5", "Gopher-v5", "NameThisGame-v5",
     "Riverraid-v5", "KungFuMaster-v5", "Tennis-v5", "StarGunner-v5",
     "Amidar-v5", "BankHeist-v5", "UpNDown-v5", "TimePilot-v5",
-    "Alien-v5", "RoadRunner-v5",
+    "Alien-v5", "RoadRunner-v5", "Skiing-v5", "Frostbite-v5",
+    "Kangaroo-v5", "ChopperCommand-v5", "Jamesbond-v5", "Zaxxon-v5",
 )
 NATIVE_PROCGEN_TASKS = (
     "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",

@@ -274,6 +274,10 @@ def _games():
         AMIDAR, BANK_HEIST, TIME_PILOT, UP_N_DOWN,
     )
     from cleanba_tpu.envs.jax_games_wave8 import ALIEN, ROAD_RUNNER
+    from cleanba_tpu.envs.jax_games_wave9 import FROSTBITE, KANGAROO, SKIING
+    from cleanba_tpu.envs.jax_games_wave9b import (
+        CHOPPER_COMMAND, JAMESBOND, ZAXXON,
+    )
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -306,6 +310,12 @@ def _games():
         "TimePilot-v5": TIME_PILOT,
         "Alien-v5": ALIEN,
         "RoadRunner-v5": ROAD_RUNNER,
+        "Skiing-v5": SKIING,
+        "Frostbite-v5": FROSTBITE,
+        "Kangaroo-v5": KANGAROO,
+        "ChopperCommand-v5": CHOPPER_COMMAND,
+        "Jamesbond-v5": JAMESBOND,
+        "Zaxxon-v5": ZAXXON,
     }
 
 

@@ -50,6 +50,12 @@ ATARI_SCORES: Dict[str, tuple] = {
     "TimePilot-v5": (3568.0, 5229.2),
     "Alien-v5": (227.8, 7127.7),
     "RoadRunner-v5": (11.5, 7845.0),
+    "Skiing-v5": (-17098.1, -4336.9),
+    "Frostbite-v5": (65.2, 4334.7),
+    "Kangaroo-v5": (52.0, 3035.0),
+    "ChopperCommand-v5": (811.0, 7387.8),
+    "Jamesbond-v5": (29.0, 302.8),
+    "Zaxxon-v5": (32.5, 9173.3),
 }
 
 

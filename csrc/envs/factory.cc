@@ -39,6 +39,12 @@ std::unique_ptr<Game> make_up_n_down_game();
 std::unique_ptr<Game> make_time_pilot_game();
 std::unique_ptr<Game> make_alien_game();
 std::unique_ptr<Game> make_road_runner_game();
+std::unique_ptr<Game> make_skiing_game();
+std::unique_ptr<Game> make_frostbite_game();
+std::unique_ptr<Game> make_kangaroo_game();
+std::unique_ptr<Game> make_chopper_command_game();
+std::unique_ptr<Game> make_jamesbond_game();
+std::unique_ptr<Game> make_zaxxon_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -79,6 +85,12 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "TimePilot-v5") return make_time_pilot_game();
   if (task == "Alien-v5") return make_alien_game();
   if (task == "RoadRunner-v5") return make_road_runner_game();
+  if (task == "Skiing-v5") return make_skiing_game();
+  if (task == "Frostbite-v5") return make_frostbite_game();
+  if (task == "Kangaroo-v5") return make_kangaroo_game();
+  if (task == "ChopperCommand-v5") return make_chopper_command_game();
+  if (task == "Jamesbond-v5") return make_jamesbond_game();
+  if (task == "Zaxxon-v5") return make_zaxxon_game();
   return nullptr;
 }
 

@@ -1,0 +1,215 @@
+// Zaxxon — from-scratch C++ clone with the classic mechanics: the fighter
+// flies over a scrolling fortress, climbing and descending to clear walls
+// (altitude is everything), shooting gun turrets (+200) and fuel tanks
+// (+300). Hitting a wall or a ground installation at low altitude costs a
+// life. The isometric view is flattened to a top-down scroll with the
+// altitude rendered as a side gauge plus the fighter's shadow offset.
+//
+// Stands in for EnvPool's ALE Zaxxon-v5 in the reference's benchmark
+// configs (reference make_env, cleanba/cleanba_ppo.py:126-146); ALE ROMs are
+// not available here, so the engine provides a rules-true clone with
+// identical protocol semantics (sticky actions / frameskip / stacking are
+// applied by AtariLikeEnv). The pure-JAX twin lives in
+// cleanba_tpu/envs/jax_games_wave9b.py and must mirror these rules exactly.
+
+#include <cmath>
+#include <cstring>
+
+#include "atari_like.h"
+
+namespace cleanba {
+namespace {
+
+constexpr float kPlayerY = 66.0f;
+constexpr float kPlayerW = 5.0f, kPlayerH = 4.0f;
+constexpr float kMoveX = 1.2f;
+constexpr float kAltRate = 0.15f;     // altitude units per raw frame
+constexpr float kAltMax = 6.0f;
+constexpr float kScroll = 1.2f;       // world px per raw frame toward player
+constexpr int kWallPeriod = 220;      // raw frames between walls
+constexpr int kSitePeriod = 70;       // raw frames between ground sites
+constexpr int kSites = 4;             // ground-site slots
+constexpr float kSiteW = 6.0f, kSiteH = 4.0f;
+constexpr float kShotV = 2.5f;
+constexpr int kLives = 3;
+
+class ZaxxonGame : public Game {
+ public:
+  void reset_game(PCG32&) override {
+    lives_ = kLives;
+    score_ = 0;
+    over_ = false;
+    walls_cleared_ = 0;
+    respawn();
+  }
+
+  float act(const AleAction& a, PCG32& rng) override {
+    if (over_) return 0.0f;
+    float reward = 0.0f;
+
+    px_ += static_cast<float>(a.dx) * kMoveX;
+    if (px_ < 6.0f) px_ = 6.0f;
+    if (px_ > 78.0f - kPlayerW) px_ = 78.0f - kPlayerW;
+    alt_ -= static_cast<float>(a.dy) * kAltRate;  // UP climbs
+    if (alt_ < 0.0f) alt_ = 0.0f;
+    if (alt_ > kAltMax) alt_ = kAltMax;
+
+    // Player shot: flies up-screen from the nose (one slot).
+    if (a.fire && !shot_live_) {
+      shot_live_ = true;
+      shot_x_ = px_ + kPlayerW / 2.0f;
+      shot_y_ = kPlayerY;
+    }
+    if (shot_live_) {
+      shot_y_ -= kShotV;
+      if (shot_y_ < 0.0f) shot_live_ = false;
+    }
+
+    // Fortress wall approaches; required altitude cycles deterministically.
+    if (!wall_live_ && ++wall_clock_ >= kWallPeriod) {
+      wall_clock_ = 0;
+      wall_live_ = true;
+      wall_y_ = -4.0f;
+      wall_req_ = 2.0f + static_cast<float>((walls_cleared_ * 3) % 5);
+    }
+    if (wall_live_) {
+      wall_y_ += kScroll;
+      if (wall_y_ >= 84.0f) {
+        wall_live_ = false;
+        ++walls_cleared_;
+      } else if (wall_y_ + 4.0f > kPlayerY && wall_y_ < kPlayerY + kPlayerH &&
+                 alt_ < wall_req_) {
+        reward += lose_life();
+        return reward;
+      }
+    }
+
+    // Ground sites (turrets / every third spawn a fuel tank) stream down.
+    if (++site_clock_ >= kSitePeriod) {
+      site_clock_ = 0;
+      for (int i = 0; i < kSites; ++i) {
+        if (site_live_[i]) continue;
+        site_live_[i] = true;
+        site_tank_[i] = (spawn_count_ % 3) == 2;
+        ++spawn_count_;
+        site_x_[i] = 8.0f + static_cast<float>(rng.randint(64));
+        site_y_[i] = -kSiteH;
+        break;
+      }
+    }
+    for (int i = 0; i < kSites; ++i) {
+      if (!site_live_[i]) continue;
+      site_y_[i] += kScroll;
+      if (site_y_[i] >= 84.0f) {
+        site_live_[i] = false;
+        continue;
+      }
+      if (shot_live_ && shot_x_ >= site_x_[i] && shot_x_ < site_x_[i] + kSiteW &&
+          shot_y_ >= site_y_[i] && shot_y_ < site_y_[i] + kSiteH) {
+        shot_live_ = false;
+        site_live_[i] = false;
+        int pts = site_tank_[i] ? 300 : 200;
+        reward += static_cast<float>(pts);
+        score_ += pts;
+        continue;
+      }
+      // Low-altitude collision with a ground installation.
+      if (alt_ < 2.0f &&
+          px_ + kPlayerW > site_x_[i] && px_ < site_x_[i] + kSiteW &&
+          kPlayerY + kPlayerH > site_y_[i] && kPlayerY < site_y_[i] + kSiteH) {
+        reward += lose_life();
+        return reward;
+      }
+    }
+    return reward;
+  }
+
+  void render(uint8_t* f) const override {
+    std::memset(f, 0, kScreenPx);
+    // Flight corridor edges.
+    for (int y = 0; y < kScreen; ++y) {
+      f[y * kScreen + 4] = 70;
+      f[y * kScreen + 79] = 70;
+    }
+    // Ground sites.
+    for (int i = 0; i < kSites; ++i)
+      if (site_live_[i])
+        draw_rect(f, site_x_[i], site_y_[i], kSiteW, kSiteH,
+                  site_tank_[i] ? 190 : 140);
+    // Wall: a bar whose thickness encodes the required altitude.
+    if (wall_live_) {
+      int rows = 2 + static_cast<int>(wall_req_);
+      draw_rect(f, 5.0f, wall_y_, 74.0f, static_cast<float>(rows), 120);
+    }
+    // Shot.
+    if (shot_live_) draw_rect(f, shot_x_ - 1.0f, shot_y_ - 2.0f, 2.0f, 3.0f, 220);
+    // Shadow (ground track) then the fighter offset by altitude.
+    draw_rect(f, px_, kPlayerY + 6.0f, kPlayerW, 2.0f, 60);
+    draw_rect(f, px_, kPlayerY - alt_, kPlayerW, kPlayerH, 255);
+    // Altitude gauge.
+    int bars = static_cast<int>(alt_);
+    for (int b = 0; b < bars && b < 6; ++b)
+      for (int k = 0; k < 2; ++k) f[(74 - b * 3) * kScreen + 81 + k] = 180;
+    // Score ticks and lives pips.
+    for (int s = 0; s < score_ / 100 && s < 40; ++s) f[1 * kScreen + 2 + s * 2] = 200;
+    for (int l = 0; l < lives_ && l < kLives; ++l)
+      for (int k = 0; k < 3; ++k) f[82 * kScreen + 2 + l * 5 + k] = 160;
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int minimal_actions() const override { return 18; }
+  int minimal_to_full(int a) const override { return a < 0 || a >= 18 ? 0 : a; }
+
+ private:
+  float lose_life() {
+    --lives_;
+    if (lives_ <= 0) {
+      over_ = true;
+      return 0.0f;
+    }
+    respawn();
+    return 0.0f;
+  }
+
+  void respawn() {
+    px_ = 40.0f;
+    alt_ = 3.0f;
+    shot_live_ = false;
+    wall_live_ = false;
+    wall_clock_ = 0;
+    site_clock_ = 0;
+    spawn_count_ = 0;
+    for (int i = 0; i < kSites; ++i) site_live_[i] = false;
+  }
+
+  static void draw_rect(uint8_t* f, float fx, float fy, float fw, float fh, uint8_t v) {
+    int x0 = static_cast<int>(fx), y0 = static_cast<int>(fy);
+    int x1 = static_cast<int>(fx + fw), y1 = static_cast<int>(fy + fh);
+    for (int y = y0 < 0 ? 0 : y0; y < y1 && y < kScreen; ++y)
+      for (int x = x0 < 0 ? 0 : x0; x < x1 && x < kScreen; ++x)
+        f[y * kScreen + x] = v;
+  }
+
+  float px_ = 40.0f, alt_ = 3.0f;
+  bool shot_live_ = false;
+  float shot_x_ = 0.0f, shot_y_ = 0.0f;
+  bool wall_live_ = false;
+  float wall_y_ = 0.0f, wall_req_ = 2.0f;
+  int wall_clock_ = 0;
+  int walls_cleared_ = 0;
+  bool site_live_[kSites] = {};
+  bool site_tank_[kSites] = {};
+  float site_x_[kSites] = {}, site_y_[kSites] = {};
+  int site_clock_ = 0;
+  int spawn_count_ = 0;
+  int lives_ = kLives;
+  int score_ = 0;
+  bool over_ = false;
+};
+
+}  // namespace
+
+std::unique_ptr<Game> make_zaxxon_game() { return std::make_unique<ZaxxonGame>(); }
+
+}  // namespace cleanba

@@ -858,3 +858,252 @@ def test_road_runner_sprint_outruns_jog():
     ease = steps_survived(5)     # DOWN
     assert ease < 60, f"easing off should be caught quickly ({ease})"
     assert sprint > ease * 3, f"sprint {sprint} vs ease {ease}"
+
+
+# ---------------------------------------------------------------------------
+# Wave-9 games (Skiing, Frostbite, Kangaroo) — parity + contract + behavior
+# ---------------------------------------------------------------------------
+
+_WAVE9 = ["Skiing-v5", "Frostbite-v5", "Kangaroo-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE9)
+def test_wave9_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE9)
+def test_wave9_random_walk_contract(task):
+    """Random play moves the score and every wave-9 game terminates."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    moved, saw_term = 0.0, False
+    for i in range(4000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
+        moved += abs(float(rr))
+        if bool(term):
+            saw_term = True
+        if saw_term and moved > 0:
+            break
+    assert saw_term, f"{task}: no episode ever terminated"
+    assert moved > 0, f"{task}: score never moved under a random walk"
+
+
+def test_skiing_clean_run_beats_random_steering():
+    """Steering toward each gate's center passes gates (no -1000 penalties):
+    a clean run totals ~-(course frames), far above random play's total
+    (skiing.cc gate crossing + kMissPenalty)."""
+    from cleanba_tpu.envs.jax_games_wave9 import (
+        _SK_GATE_CX, _SK_GATE_Y, _sk_act, _sk_reset,
+    )
+
+    s = _sk_reset(None)
+    total = 0.0
+    key = jax.random.PRNGKey(0)
+    act = jax.jit(lambda s, dx: _sk_act(s, dx, jnp.int32(0), jnp.int32(0), None)[0])
+
+    def steer(s):
+        i = int(np.clip(int(s.next_gate), 0, 19))
+        cx = float(_SK_GATE_CX[i])
+        me = float(s.x) + 2.0
+        return jnp.int32(0 if abs(me - cx) < 1.0 else (1 if cx > me else -1))
+
+    step_fn = jax.jit(lambda s, dx: _sk_act(s, dx, jnp.int32(0), jnp.int32(0), None))
+    for _ in range(2100):
+        s, r = step_fn(s, steer(s))
+        total += float(r)
+        if bool(s.over):
+            break
+    assert bool(s.over), "course never finished"
+    assert int(s.passed) == 20, f"missed gates on a steered run: {int(s.passed)}/20"
+    assert total > -2200, f"clean run should only pay the clock, got {total}"
+
+
+def test_frostbite_row_visits_pay_ten_and_build_igloo():
+    """Hopping unvisited rows pays +10 each and completing the 4-row cycle
+    banks 4 igloo pieces (frostbite.cc jump handling)."""
+    from cleanba_tpu.envs.jax_games_wave9 import _fb_act, _fb_reset
+
+    s = _fb_reset(None)
+    total = 0.0
+    down = jnp.int32(1)
+    zero = jnp.int32(0)
+    act = jax.jit(lambda s, dy: _fb_act(s, zero, dy, zero, None))
+    # The player starts over floe row alignment at x=40: row 0 floe spans
+    # [28, 46) at reset and drifts +0.5/frame; jump immediately.
+    hops = 0
+    for t in range(200):
+        want = hops < 4
+        dy = down if want and int(s.jump_cd) == 0 else zero
+        prev_row = int(s.row)
+        s, r = act(s, dy)
+        total += float(r)
+        if int(s.row) != prev_row:
+            hops += 1
+        if hops >= 4:
+            break
+    assert hops == 4, f"only {hops} hops happened"
+    assert total >= 40.0, f"4 fresh rows must pay >= 40, got {total}"
+    assert int(s.igloo) == 4, f"cycle should bank 4 igloo pieces, got {int(s.igloo)}"
+
+
+def test_kangaroo_fruit_and_rescue():
+    """Walking right collects the floor-0 fruit (+100); climbing all three
+    ladders reaches the joey for +2000 and the next level (kangaroo.cc)."""
+    from cleanba_tpu.envs.jax_games_wave9 import _kg_act, _kg_reset
+
+    s = _kg_reset(None)
+    zero = jnp.int32(0)
+    act = jax.jit(lambda s, dx, dy: _kg_act(s, dx, dy, zero, None))
+    total = 0.0
+    got_fruit = False
+
+    def goto(ladder_x):
+        """Walk to the ladder's center column (at_ladder needs |diff| < 4)."""
+        nonlocal s, total, got_fruit
+        center = ladder_x + 3.0
+        for _ in range(120):
+            diff = center - (float(s.x) + 2.5)
+            if abs(diff) < 1.0:
+                return
+            s, r = act(s, jnp.int32(1 if diff > 0 else -1), zero)
+            total += float(r)
+            if float(r) >= 100.0:
+                got_fruit = True
+        raise AssertionError(f"never reached ladder at {ladder_x}")
+
+    def climb():
+        nonlocal s, total
+        start = int(s.floor)
+        for _ in range(40):
+            s, r = act(s, zero, jnp.int32(-1))
+            total += float(r)
+            if int(s.floor) != start and not bool(s.climbing):
+                return
+        # Rescue resets floor to 0; count that as arrival too.
+
+    # Floor 0: fruit at x=24 lies between the start (x=8) and ladder x=64.
+    goto(64.0)
+    assert got_fruit, "walking over the floor-0 fruit paid nothing"
+    climb()
+    assert int(s.floor) == 1, f"expected floor 1, got {int(s.floor)}"
+    goto(12.0)
+    climb()
+    assert int(s.floor) == 2, f"expected floor 2, got {int(s.floor)}"
+    goto(64.0)
+    before = int(s.level)
+    climb()
+    assert int(s.level) == before + 1, "rescue did not advance the level"
+    assert total >= 2100.0, f"fruit + rescue should pay >= 2100, got {total}"
+
+
+# ---------------------------------------------------------------------------
+# Wave-9b games (ChopperCommand, Jamesbond, Zaxxon) — parity + contract
+# ---------------------------------------------------------------------------
+
+_WAVE9B = ["ChopperCommand-v5", "Jamesbond-v5", "Zaxxon-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE9B)
+def test_wave9b_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE9B)
+def test_wave9b_random_walk_contract(task):
+    """Random play moves the score and every wave-9b game terminates."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    moved, saw_term = 0.0, False
+    for i in range(4000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
+        moved += abs(float(rr))
+        if bool(term):
+            saw_term = True
+        if saw_term and moved > 0:
+            break
+    assert saw_term, f"{task}: no episode ever terminated"
+    assert moved > 0, f"{task}: score never moved under a random walk"
+
+
+def test_chopper_command_kills_and_truck_bonus():
+    """Shooting enemies pays jets 100 / helis 200 (chopper_command.cc)."""
+    from cleanba_tpu.envs.jax_games_wave9b import _cc_act, _cc_reset
+
+    s = _cc_reset(None)
+    key = jax.random.PRNGKey(0)
+    act = jax.jit(_cc_act)
+    total = 0.0
+    kills = 0
+    rows = [26.0, 40.0, 54.0, 33.0]
+    for t in range(3000):
+        key, sub = jax.random.split(key)
+        alive = np.asarray(s.enemy_alive)
+        if not alive.any():
+            break
+        # Target the alive enemy on the row nearest the player (crossing
+        # other rows walks into strafe fire).
+        dists = [abs(rows[i] - float(s.py)) if alive[i] else 1e9
+                 for i in range(4)]
+        e = int(np.argmin(dists))
+        tx, ty = float(np.asarray(s.ex)[e]), rows[e]
+        dyv = ty - float(s.py)
+        dy = jnp.int32(0 if abs(dyv) <= 1 else (1 if dyv > 0 else -1))
+        dx = jnp.int32(1 if tx > float(s.px) else -1)
+        fire = jnp.int32(1 if abs(dyv) <= 2 else 0)
+        prev = int(s.score)
+        s, r = act(s, dx, dy, fire, sub)
+        total += float(r)
+        if int(s.score) - prev in (100, 200):
+            kills += 1
+        if bool(s.over):
+            break
+    assert kills >= 1, "no enemy was ever shot down"
+    assert total >= 100.0, f"kills must pay, got {total}"
+
+
+def test_zaxxon_wall_requires_altitude():
+    """Flying below a wall's required altitude costs a life; max-altitude
+    flight passes every wall safely (zaxxon.cc wall handling)."""
+    from cleanba_tpu.envs.jax_games_wave9b import _zx_act, _zx_reset
+
+    key = jax.random.PRNGKey(0)
+    act = jax.jit(_zx_act)
+
+    def run(dy_raw):
+        # alt -= dy * rate: dy=-1 climbs to max, dy=+1 pins alt at 0.
+        s = _zx_reset(None)
+        key_ = key
+        deaths = 0
+        for t in range(800):
+            key_, sub = jax.random.split(key_)
+            prev_lives = int(s.lives)
+            s, _ = act(s, jnp.int32(0), jnp.int32(dy_raw), jnp.int32(0), sub)
+            if int(s.lives) < prev_lives:
+                deaths += 1
+            if bool(s.over):
+                break
+        return deaths
+
+    assert run(-1) == 0, "max-altitude flight still died"
+    assert run(1) >= 1, "ground-hugging flight never hit a wall"
