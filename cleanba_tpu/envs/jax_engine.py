@@ -278,6 +278,7 @@ def _games():
     from cleanba_tpu.envs.jax_games_wave9b import (
         CHOPPER_COMMAND, JAMESBOND, ZAXXON,
     )
+    from cleanba_tpu.envs.jax_games_wave9c import BERZERK, WIZARD_OF_WOR
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -316,6 +317,8 @@ def _games():
         "ChopperCommand-v5": CHOPPER_COMMAND,
         "Jamesbond-v5": JAMESBOND,
         "Zaxxon-v5": ZAXXON,
+        "Berzerk-v5": BERZERK,
+        "WizardOfWor-v5": WIZARD_OF_WOR,
     }
 
 

@@ -56,6 +56,8 @@ ATARI_SCORES: Dict[str, tuple] = {
     "ChopperCommand-v5": (811.0, 7387.8),
     "Jamesbond-v5": (29.0, 302.8),
     "Zaxxon-v5": (32.5, 9173.3),
+    "Berzerk-v5": (123.7, 2630.4),
+    "WizardOfWor-v5": (563.5, 4756.5),
 }
 
 

@@ -45,6 +45,8 @@ std::unique_ptr<Game> make_kangaroo_game();
 std::unique_ptr<Game> make_chopper_command_game();
 std::unique_ptr<Game> make_jamesbond_game();
 std::unique_ptr<Game> make_zaxxon_game();
+std::unique_ptr<Game> make_berzerk_game();
+std::unique_ptr<Game> make_wizard_of_wor_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -91,6 +93,8 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "ChopperCommand-v5") return make_chopper_command_game();
   if (task == "Jamesbond-v5") return make_jamesbond_game();
   if (task == "Zaxxon-v5") return make_zaxxon_game();
+  if (task == "Berzerk-v5") return make_berzerk_game();
+  if (task == "WizardOfWor-v5") return make_wizard_of_wor_game();
   return nullptr;
 }
 

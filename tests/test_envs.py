@@ -161,7 +161,8 @@ def test_truncation_cap():
                                   "TimePilot-v5", "Alien-v5", "RoadRunner-v5",
                                   "Skiing-v5", "Frostbite-v5", "Kangaroo-v5",
                                   "ChopperCommand-v5", "Jamesbond-v5",
-                                  "Zaxxon-v5"])
+                                  "Zaxxon-v5", "Berzerk-v5",
+                                  "WizardOfWor-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()
