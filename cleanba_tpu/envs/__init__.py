@@ -72,7 +72,7 @@ NATIVE_ATARI_TASKS = (
     "Amidar-v5", "BankHeist-v5", "UpNDown-v5", "TimePilot-v5",
     "Alien-v5", "RoadRunner-v5", "Skiing-v5", "Frostbite-v5",
     "Kangaroo-v5", "ChopperCommand-v5", "Jamesbond-v5", "Zaxxon-v5",
-    "Berzerk-v5", "WizardOfWor-v5",
+    "Berzerk-v5", "WizardOfWor-v5", "Asteroids-v5", "Centipede-v5",
 )
 NATIVE_PROCGEN_TASKS = (
     "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",

@@ -279,6 +279,7 @@ def _games():
         CHOPPER_COMMAND, JAMESBOND, ZAXXON,
     )
     from cleanba_tpu.envs.jax_games_wave9c import BERZERK, WIZARD_OF_WOR
+    from cleanba_tpu.envs.jax_games_wave9d import ASTEROIDS, CENTIPEDE
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -319,6 +320,8 @@ def _games():
         "Zaxxon-v5": ZAXXON,
         "Berzerk-v5": BERZERK,
         "WizardOfWor-v5": WIZARD_OF_WOR,
+        "Asteroids-v5": ASTEROIDS,
+        "Centipede-v5": CENTIPEDE,
     }
 
 

@@ -58,6 +58,8 @@ ATARI_SCORES: Dict[str, tuple] = {
     "Zaxxon-v5": (32.5, 9173.3),
     "Berzerk-v5": (123.7, 2630.4),
     "WizardOfWor-v5": (563.5, 4756.5),
+    "Asteroids-v5": (719.1, 47388.7),
+    "Centipede-v5": (2090.9, 12017.0),
 }
 
 

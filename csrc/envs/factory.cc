@@ -47,6 +47,8 @@ std::unique_ptr<Game> make_jamesbond_game();
 std::unique_ptr<Game> make_zaxxon_game();
 std::unique_ptr<Game> make_berzerk_game();
 std::unique_ptr<Game> make_wizard_of_wor_game();
+std::unique_ptr<Game> make_asteroids_game();
+std::unique_ptr<Game> make_centipede_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -95,6 +97,8 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Zaxxon-v5") return make_zaxxon_game();
   if (task == "Berzerk-v5") return make_berzerk_game();
   if (task == "WizardOfWor-v5") return make_wizard_of_wor_game();
+  if (task == "Asteroids-v5") return make_asteroids_game();
+  if (task == "Centipede-v5") return make_centipede_game();
   return nullptr;
 }
 

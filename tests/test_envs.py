@@ -162,7 +162,8 @@ def test_truncation_cap():
                                   "Skiing-v5", "Frostbite-v5", "Kangaroo-v5",
                                   "ChopperCommand-v5", "Jamesbond-v5",
                                   "Zaxxon-v5", "Berzerk-v5",
-                                  "WizardOfWor-v5"])
+                                  "WizardOfWor-v5", "Asteroids-v5",
+                                  "Centipede-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()

@@ -1215,3 +1215,87 @@ def test_wizard_of_wor_walls_block_not_kill():
         if total >= 100.0 or bool(s.over):
             break
     assert total >= 100.0, f"no monster was ever shot (+100), got {total}"
+
+
+# ---------------------------------------------------------------------------
+# Wave-9d games (Asteroids, Centipede) — parity + contract + behavior
+# ---------------------------------------------------------------------------
+
+_WAVE9D = ["Asteroids-v5", "Centipede-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE9D)
+def test_wave9d_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE9D)
+def test_wave9d_random_walk_contract(task):
+    """Random play moves the score and every wave-9d game terminates."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    moved, saw_term = 0.0, False
+    for i in range(4000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
+        moved += abs(float(rr))
+        if bool(term):
+            saw_term = True
+        if saw_term and moved > 0:
+            break
+    assert saw_term, f"{task}: no episode ever terminated"
+    assert moved > 0, f"{task}: score never moved under a random walk"
+
+
+def test_asteroids_rocks_split_twice_and_pay_more():
+    """Shooting a large rock (+20) spawns two mediums (+50 each), which split
+    into smalls (+100): both engines share the one-kill-per-frame rule
+    (asteroids.cc split bookkeeping)."""
+    from cleanba_tpu.envs.jax_games_wave9d import _as_act, _as_reset
+
+    act = jax.jit(_as_act)
+    s = _as_reset(None)
+    pay_by_size = {}
+    for t in range(6000):
+        # Spin continuously and fire: the wrapping field brings rocks into
+        # the line of fire from every heading.
+        s, r = act(s, jnp.int32(1), jnp.int32(0), jnp.int32(1), None)
+        if float(r) in (20.0, 50.0, 100.0):
+            pay_by_size[float(r)] = pay_by_size.get(float(r), 0) + 1
+        if len(pay_by_size) == 3 or bool(s.over):
+            break
+    assert 20.0 in pay_by_size, f"no large rock was ever shot: {pay_by_size}"
+    assert 50.0 in pay_by_size, f"no medium (split) rock was shot: {pay_by_size}"
+    assert 100.0 in pay_by_size, f"no small (twice-split) rock was shot: {pay_by_size}"
+
+
+def test_centipede_segments_drop_on_obstacles_and_pay_ten():
+    """Segments descend one row each reversal and pay +10 when shot; a
+    mushroom grows where a segment dies (centipede.cc)."""
+    from cleanba_tpu.envs.jax_games_wave9d import _cp_act, _cp_reset
+
+    act = jax.jit(_cp_act)
+    s = _cp_reset(None)
+    y0 = float(np.asarray(s.seg_y).min())
+    mush0 = int(np.asarray(s.mush).sum())
+    total = 0.0
+    got_seg = False
+    for t in range(4000):
+        s, r = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(1), None)
+        total += float(r)
+        if float(r) >= 10.0:
+            got_seg = True
+            break
+        if bool(s.over):
+            break
+    assert got_seg, f"no segment was ever shot, total={total}"
+    assert float(np.asarray(s.seg_y).max()) > y0, "segments never descended"
