@@ -57,7 +57,8 @@ PROTOCOLS = {
 _STATE_TASKS = {"CartPole-v1"}
 
 # Procgen-family ids handled by the engine's procedural 64x64 RGB tasks.
-_PROCGEN_PREFIXES = ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot", "Fruitbot")
+_PROCGEN_PREFIXES = ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot",
+                     "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper")
 
 # Task ids the from-scratch engines (csrc/ + jax_engine) implement. Ids
 # outside this set route to the EnvPool backend under backend='auto'
@@ -81,6 +82,10 @@ NATIVE_PROCGEN_TASKS = (
     "Chaser-v0", "ChaserEasy-v0", "ChaserHard-v0",
     "Starpilot-v0", "StarpilotEasy-v0", "StarpilotHard-v0",
     "Fruitbot-v0", "FruitbotEasy-v0", "FruitbotHard-v0",
+    "Coinrun-v0", "CoinrunEasy-v0", "CoinrunHard-v0",
+    "Miner-v0", "MinerEasy-v0", "MinerHard-v0",
+    "Heist-v0", "HeistEasy-v0", "HeistHard-v0",
+    "Jumper-v0", "JumperEasy-v0", "JumperHard-v0",
 )
 
 

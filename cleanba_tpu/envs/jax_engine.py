@@ -589,18 +589,20 @@ class JaxCartPoleEnv:
         return ns, self._obs(ns), reward, reward, terminated, truncated, done
 
 
-JAX_TASKS = (
-    "Breakout-v5", "Pong-v5", "SpaceInvaders-v5", "BeamRider-v5",
-    "Freeway-v5", "Boxing-v5", "Seaquest-v5", "Qbert-v5",
-    "Asterix-v5", "MsPacman-v5", "DemonAttack-v5", "Enduro-v5",
-    "Atlantis-v5", "Bowling-v5", "FishingDerby-v5", "CrazyClimber-v5",
-    "Assault-v5", "Phoenix-v5", "Gopher-v5", "NameThisGame-v5",
-    "Riverraid-v5", "KungFuMaster-v5", "Tennis-v5", "StarGunner-v5",
-    "Bigfish-v0", "BigfishHard-v0", "Maze-v0", "MazeHard-v0",
-    "Leaper-v0", "LeaperHard-v0", "Chaser-v0", "ChaserHard-v0",
-    "Starpilot-v0", "StarpilotHard-v0", "Fruitbot-v0", "FruitbotHard-v0",
-    "CartPole-v1",
-)
+def _jax_tasks():
+    """Every task the on-device engine serves (kept in sync with _games()
+    and the procgen dispatch in make_jax_env by derivation, not by hand)."""
+    atari = tuple(_get_games().keys())
+    procgen = tuple(
+        f"{p}{suffix}-v0"
+        for p in ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot",
+                  "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper")
+        for suffix in ("", "Hard")
+    )
+    return atari + procgen + ("CartPole-v1",)
+
+
+JAX_TASKS = _jax_tasks()
 
 
 def make_jax_env(env_id: str, protocol_opts: dict | None = None):
@@ -615,18 +617,25 @@ def make_jax_env(env_id: str, protocol_opts: dict | None = None):
     if env_id == "CartPole-v1":
         return JaxCartPoleEnv(env_id, max_episode_steps=opts.get("max_episode_steps", 500))
     if env_id.startswith(
-        ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot", "Fruitbot")
+        ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot", "Fruitbot",
+         "Coinrun", "Miner", "Heist", "Jumper")
     ) and env_id.endswith("-v0"):
         from cleanba_tpu.envs.jax_procgen import JaxBigfishEnv, JaxMazeEnv
         from cleanba_tpu.envs.jax_procgen_extra import JaxChaserEnv, JaxLeaperEnv
         from cleanba_tpu.envs.jax_procgen_wave5 import JaxFruitbotEnv, JaxStarpilotEnv
+        from cleanba_tpu.envs.jax_procgen_wave9 import (
+            JaxCoinrunEnv, JaxHeistEnv, JaxJumperEnv, JaxMinerEnv,
+        )
 
         hard = "Hard" in env_id
-        prefixes = ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot", "Fruitbot")
+        prefixes = ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot",
+                    "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper")
         cls = {
             "Bigfish": JaxBigfishEnv, "Maze": JaxMazeEnv,
             "Leaper": JaxLeaperEnv, "Chaser": JaxChaserEnv,
             "Starpilot": JaxStarpilotEnv, "Fruitbot": JaxFruitbotEnv,
+            "Coinrun": JaxCoinrunEnv, "Miner": JaxMinerEnv,
+            "Heist": JaxHeistEnv, "Jumper": JaxJumperEnv,
         }[next(p for p in prefixes if env_id.startswith(p))]
         return cls(env_id, hard=hard, max_episode_steps=1000)
     return JaxAtariEnv(env_id, **opts)

@@ -55,6 +55,10 @@ std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_chaser_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_starpilot_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_fruitbot_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_coinrun_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_miner_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_heist_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_jumper_env(const EnvOptions& opts, bool hard);
 
 namespace {
 
@@ -117,6 +121,14 @@ std::unique_ptr<Env> make_procgen(const std::string& task, const EnvOptions& opt
   if (task == "StarpilotHard-v0") return make_starpilot_env(opts, true);
   if (task == "Fruitbot-v0" || task == "FruitbotEasy-v0") return make_fruitbot_env(opts, false);
   if (task == "FruitbotHard-v0") return make_fruitbot_env(opts, true);
+  if (task == "Coinrun-v0" || task == "CoinrunEasy-v0") return make_coinrun_env(opts, false);
+  if (task == "CoinrunHard-v0") return make_coinrun_env(opts, true);
+  if (task == "Miner-v0" || task == "MinerEasy-v0") return make_miner_env(opts, false);
+  if (task == "MinerHard-v0") return make_miner_env(opts, true);
+  if (task == "Heist-v0" || task == "HeistEasy-v0") return make_heist_env(opts, false);
+  if (task == "HeistHard-v0") return make_heist_env(opts, true);
+  if (task == "Jumper-v0" || task == "JumperEasy-v0") return make_jumper_env(opts, false);
+  if (task == "JumperHard-v0") return make_jumper_env(opts, true);
   return nullptr;
 }
 

@@ -1299,3 +1299,84 @@ def test_centipede_segments_drop_on_obstacles_and_pay_ten():
             break
     assert got_seg, f"no segment was ever shot, total={total}"
     assert float(np.asarray(s.seg_y).max()) > y0, "segments never descended"
+
+
+# ---------------------------------------------------------------------------
+# Wave-9 procgen (Coinrun, Miner, Heist, Jumper) — contract + behavior
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("task", ["Coinrun-v0", "MinerHard-v0", "Heist-v0",
+                                  "JumperHard-v0"])
+def test_wave9_procgen_contract(task):
+    """New procgen tasks follow the procgen protocol: 64x64x3 uint8 obs, 15
+    actions, terminating episodes, score movement under (biased-)random
+    play. The platformers get a right+jump-heavy action mix — uniform random
+    cannot cross a saw gauntlet, same as in real procgen."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, {})
+    assert jenv.num_actions == 15
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (64, 64, 3) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    platformer = task.startswith(("Coinrun", "Jumper"))
+    # RIGHT(7), RIGHT+UP(8), UP(5), LEFT+UP(2), LEFT(1) heavy mix.
+    biased = np.array([7, 7, 7, 8, 8, 5, 2, 1], np.int64)
+    moved, terms = 0.0, 0
+    for i in range(6000):
+        a = int(biased[rng.integers(0, len(biased))]) if platformer \
+            else int(rng.integers(0, 15))
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(a))
+        moved += abs(float(rr))
+        terms += int(term) + int(trunc)
+        if terms > 0 and moved > 0:
+            break
+    assert terms > 0, f"{task}: never terminated"
+    assert moved > 0, f"{task}: reward never moved"
+
+
+def test_miner_diamonds_then_exit():
+    """Digging to each diamond pays +1 and the exit opens only after the
+    last one (miner.cc / JaxMinerEnv)."""
+    from cleanba_tpu.envs.jax_procgen_wave9 import JaxMinerEnv
+
+    env = JaxMinerEnv("Miner-v0")
+    s, _ = env.reset(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    # Greedy scripted digger: walk toward the nearest diamond, else the exit.
+    got, t = 0.0, 0
+    for t in range(3000):
+        grid = np.asarray(s.grid)
+        px, py = int(s.px), int(s.py)
+        ds = np.argwhere(grid == 3)
+        if len(ds):
+            ty, tx = min(ds, key=lambda p: abs(p[0] - py) + abs(p[1] - px))
+        else:
+            ty, tx = 14, 14
+        if abs(tx - px) >= abs(ty - py):
+            a = 7 if tx > px else 1
+        else:
+            a = 3 if ty > py else 5
+        s, _, r, rr, term, trunc, first = step(s, jnp.int32(int(a)))
+        got += float(rr)
+        if bool(term) or bool(trunc):
+            break
+    assert got >= 2.0, f"scripted digger collected almost nothing: {got}"
+
+
+def test_heist_doors_block_until_key():
+    """A closed door cell is impassable; collecting its key opens it
+    (heist.cc / JaxHeistEnv passable())."""
+    from cleanba_tpu.envs.jax_procgen_wave9 import JaxHeistEnv
+
+    env = JaxHeistEnv("Heist-v0")
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    # Teleport check at the functional level: standing next to door 0 with
+    # and without its key.
+    dx, dy = int(s.door_x[0]), int(s.door_y[0])
+    s2 = s.replace(px=jnp.int32(dx), py=jnp.int32(dy - 1))
+    s3, _, _, _, _, _, _ = env.step(s2, jnp.int32(3))  # DOWN (dy=+1)
+    assert not (int(s3.px) == dx and int(s3.py) == dy), "closed door admitted the thief"
+    s4 = s2.replace(key_held=s2.key_held.at[0].set(True))
+    s5, _, _, _, _, _, _ = env.step(s4, jnp.int32(3))
+    assert int(s5.px) == dx and int(s5.py) == dy, "opened door still blocked"
