@@ -340,6 +340,10 @@ def train(cfg) -> dict:
             writer.add_scalar("losses/entropy", m.entropy_loss, global_step)
             if hasattr(m, "approx_kl"):
                 writer.add_scalar("losses/approx_kl", m.approx_kl, global_step)
+            # Flush every log boundary so a killed long run (timeout/preempt)
+            # keeps its curve up to the last logged update (the Anakin
+            # trainers already do this; DemonAttack once lost a whole run).
+            writer.flush()
 
         if learner_policy_version % cfg.log_frequency == 0 or (
             cfg.checkpoint_frequency
@@ -471,6 +475,7 @@ def _asap_loop(cfg, algo, topo, agent_state, update_fn, shared_queue, store,
             writer.add_scalar("losses/loss", m.loss, consumed)
             writer.add_scalar("charts/learner_policy_version", version, consumed)
             print(f"[asap] consumed={consumed}, learner_version={version}, loss={m.loss:.4f}")
+            writer.flush()
     store.finished.set()
     stop_event.set()
     # The caller's _drain_until_joined handles unblocking producers.

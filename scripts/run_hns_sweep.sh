@@ -21,6 +21,7 @@ cd "$(dirname "$0")/.."
 
 STEPS="${1:-10000000}"
 RUN_DIR="${2:-runs/hns10m}"
+SEEDS="${SEEDS:-1 2}"
 GAMES=$(python -c "from cleanba_tpu.envs import NATIVE_ATARI_TASKS as T; print(' '.join(T))")
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
@@ -36,7 +37,7 @@ CMD="python -m cleanba_tpu.train_impala_anakin \
   --total-timesteps $STEPS --log-frequency 20 \
   --run-dir $RUN_DIR --run-name hns_{env_id}_s{seed}"
 
-for SEED in 1 2; do
+for SEED in $SEEDS; do
   for GAME in $GAMES; do
     if [ -e "$RUN_DIR/.stop" ]; then
       echo "stop requested; exiting cleanly"
