@@ -74,6 +74,7 @@ NATIVE_ATARI_TASKS = (
     "Alien-v5", "RoadRunner-v5", "Skiing-v5", "Frostbite-v5",
     "Kangaroo-v5", "ChopperCommand-v5", "Jamesbond-v5", "Zaxxon-v5",
     "Berzerk-v5", "WizardOfWor-v5", "Asteroids-v5", "Centipede-v5",
+    "Tutankham-v5", "Venture-v5", "IceHockey-v5", "BattleZone-v5",
 )
 NATIVE_PROCGEN_TASKS = (
     "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",

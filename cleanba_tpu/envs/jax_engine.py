@@ -280,6 +280,9 @@ def _games():
     )
     from cleanba_tpu.envs.jax_games_wave9c import BERZERK, WIZARD_OF_WOR
     from cleanba_tpu.envs.jax_games_wave9d import ASTEROIDS, CENTIPEDE
+    from cleanba_tpu.envs.jax_games_wave10 import (
+        BATTLEZONE, ICE_HOCKEY, TUTANKHAM, VENTURE,
+    )
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -322,6 +325,10 @@ def _games():
         "WizardOfWor-v5": WIZARD_OF_WOR,
         "Asteroids-v5": ASTEROIDS,
         "Centipede-v5": CENTIPEDE,
+        "Tutankham-v5": TUTANKHAM,
+        "Venture-v5": VENTURE,
+        "IceHockey-v5": ICE_HOCKEY,
+        "BattleZone-v5": BATTLEZONE,
     }
 
 

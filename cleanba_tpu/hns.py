@@ -60,6 +60,10 @@ ATARI_SCORES: Dict[str, tuple] = {
     "WizardOfWor-v5": (563.5, 4756.5),
     "Asteroids-v5": (719.1, 47388.7),
     "Centipede-v5": (2090.9, 12017.0),
+    "Tutankham-v5": (11.4, 167.6),
+    "Venture-v5": (0.0, 1187.5),
+    "IceHockey-v5": (-11.2, 0.9),
+    "BattleZone-v5": (2360.0, 37187.5),
 }
 
 

@@ -49,6 +49,10 @@ std::unique_ptr<Game> make_berzerk_game();
 std::unique_ptr<Game> make_wizard_of_wor_game();
 std::unique_ptr<Game> make_asteroids_game();
 std::unique_ptr<Game> make_centipede_game();
+std::unique_ptr<Game> make_tutankham_game();
+std::unique_ptr<Game> make_venture_game();
+std::unique_ptr<Game> make_ice_hockey_game();
+std::unique_ptr<Game> make_battlezone_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -103,6 +107,10 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "WizardOfWor-v5") return make_wizard_of_wor_game();
   if (task == "Asteroids-v5") return make_asteroids_game();
   if (task == "Centipede-v5") return make_centipede_game();
+  if (task == "Tutankham-v5") return make_tutankham_game();
+  if (task == "Venture-v5") return make_venture_game();
+  if (task == "IceHockey-v5") return make_ice_hockey_game();
+  if (task == "BattleZone-v5") return make_battlezone_game();
   return nullptr;
 }
 

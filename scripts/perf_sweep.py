@@ -24,14 +24,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "") -> dict:
+def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "",
+                num_actor_threads: int = 2, local_num_envs: int = 64) -> dict:
     from cleanba_tpu.config import PPOConfig
     from cleanba_tpu.runtime.trainer import train
 
     cfg = PPOConfig(
         env_id="Breakout-v5",
-        local_num_envs=64,
-        num_actor_threads=2,
+        local_num_envs=local_num_envs,
+        num_actor_threads=num_actor_threads,
         num_steps=128,
         num_minibatches=4,
         update_epochs=4,
@@ -41,7 +42,7 @@ def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "") -> d
         log_frequency=10**9,
         run_dir="/tmp/perf_runs",
         env_backend="native",
-        total_timesteps=64 * 2 * 128 * 14,
+        total_timesteps=local_num_envs * num_actor_threads * 128 * 14,
         trace_dir=trace_dir,
     )
     stats = train(cfg)
@@ -49,6 +50,8 @@ def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "") -> d
         experiment="sebulba_ppo",
         concurrency=concurrency,
         device_stack=device_stack,
+        num_actor_threads=num_actor_threads,
+        local_num_envs=local_num_envs,
         sps=stats["sps"],
     )
 
@@ -155,6 +158,14 @@ def main():
         # host<->device RTT instead of serializing it (depth 1 = old behavior).
         for abs_, depth in [(64, 1), (64, 2), (32, 2), (32, 4), (16, 4), (16, 8)]:
             r = impala_async_sps(abs_, pipeline_depth=depth)
+            print(json.dumps(r), file=sys.stderr, flush=True)
+            results.append(r)
+        # Thread-level RTT hiding for the sync-stepping PPO path: more
+        # rollout threads with fewer envs each (same 128-env total) overlap
+        # more tunnel round trips (reference actor_threads recipe).
+        for threads, envs in [(4, 32), (8, 16)]:
+            r = sebulba_sps(True, True, num_actor_threads=threads,
+                            local_num_envs=envs)
             print(json.dumps(r), file=sys.stderr, flush=True)
             results.append(r)
     if not args.skip_anakin:

@@ -21,7 +21,7 @@ mkdir -p "$RUN_DIR"
 CMD="python -m cleanba_tpu.train_ppo_anakin \
   --local-num-envs 64 --num-steps 256 --num-minibatches 8 --update-epochs 3 \
   --learning-rate 5e-4 --gamma 0.999 --ent-coef 0.01 --bf16 \
-  --total-timesteps $STEPS --log-frequency 5 \
+  --total-timesteps $STEPS --log-frequency 5 --save-model \
   --run-dir $RUN_DIR --run-name pg_{env_id}_s{seed}"
 
 for GAME in $GAMES; do

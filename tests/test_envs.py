@@ -163,7 +163,9 @@ def test_truncation_cap():
                                   "ChopperCommand-v5", "Jamesbond-v5",
                                   "Zaxxon-v5", "Berzerk-v5",
                                   "WizardOfWor-v5", "Asteroids-v5",
-                                  "Centipede-v5"])
+                                  "Centipede-v5", "Tutankham-v5",
+                                  "Venture-v5", "IceHockey-v5",
+                                  "BattleZone-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()
@@ -179,7 +181,10 @@ def test_other_games_spec_and_determinism(task):
         s1, s2 = e1.step(a), e2.step(a)
         assert np.array_equal(s1[0], s2[0])
         reward_seen += float(np.abs(s1[1]).sum())
-    assert reward_seen > 0, f"{task}: no rewards under random play"
+    # Venture is genuinely sparse (its published random-play anchor is 0.0):
+    # 200 random steps cannot be expected to loot a treasure room.
+    if task != "Venture-v5":
+        assert reward_seen > 0, f"{task}: no rewards under random play"
     e1.close()
     e2.close()
 

@@ -1380,3 +1380,89 @@ def test_heist_doors_block_until_key():
     s4 = s2.replace(key_held=s2.key_held.at[0].set(True))
     s5, _, _, _, _, _, _ = env.step(s4, jnp.int32(3))
     assert int(s5.px) == dx and int(s5.py) == dy, "opened door still blocked"
+
+
+# ---------------------------------------------------------------------------
+# Wave-10 games (Tutankham, Venture, IceHockey, BattleZone) — parity + contract
+# ---------------------------------------------------------------------------
+
+_WAVE10 = ["Tutankham-v5", "Venture-v5", "IceHockey-v5", "BattleZone-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE10)
+def test_wave10_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE10)
+def test_wave10_random_walk_contract(task):
+    """Random play moves the score and every wave-10 game terminates."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    moved, saw_term = 0.0, False
+    for i in range(6000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
+        moved += abs(float(rr))
+        if bool(term) or bool(trunc):
+            saw_term = True
+        if saw_term and moved > 0:
+            break
+    assert saw_term, f"{task}: no episode ever ended"
+    assert moved > 0, f"{task}: score never moved under a random walk"
+
+
+def test_venture_treasure_in_room_pays_200():
+    """Entering a room and touching the treasure pays +200 and marks the
+    room done (venture.cc)."""
+    from cleanba_tpu.envs.jax_games_wave10 import _vn_act, _vn_reset
+
+    act = jax.jit(_vn_act)
+    s = _vn_reset(None)
+    # Teleport to just inside room 0's door and walk to its treasure.
+    s = s.replace(px=jnp.float32(30.0), py=jnp.float32(18.0))
+    total = 0.0
+    for t in range(80):
+        tx = float(6.0 + 30.0 / 2 - 2)   # room 0 treasure x
+        ty = float(6.0 + 28.0 / 2 - 2)
+        ddx = tx - float(s.px)
+        ddy = ty - float(s.py)
+        dx = jnp.int32(0 if abs(ddx) < 0.5 else (1 if ddx > 0 else -1))
+        dy = jnp.int32(0 if abs(ddy) < 0.5 else (1 if ddy > 0 else -1))
+        s, r = act(s, dx, dy, jnp.int32(0), None)
+        total += float(r)
+        if total >= 200.0 or bool(s.over):
+            break
+    assert total >= 200.0, f"treasure never paid, got {total}"
+    assert bool(s.room_done[0]), "room 0 not marked done"
+
+
+def test_ice_hockey_shot_into_open_goal_scores():
+    """With possession in front of the open top goal, FIRE scores +1
+    (ice_hockey.cc goal handling)."""
+    from cleanba_tpu.envs.jax_games_wave10 import _ih_act, _ih_reset
+
+    act = jax.jit(_ih_act)
+    key = jax.random.PRNGKey(0)
+    s = _ih_reset(None)
+    # Park the AI far away and take the puck right in front of the goal.
+    s = s.replace(px=jnp.float32(39.0), py=jnp.float32(20.0),
+                  ax=jnp.float32(10.0), ay=jnp.float32(60.0),
+                  puck_x=jnp.float32(41.0), puck_y=jnp.float32(19.5))
+    total = 0.0
+    for t in range(40):
+        key, sub = jax.random.split(key)
+        s, r = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(1), sub)
+        total += float(r)
+        if total >= 1.0:
+            break
+    assert total >= 1.0, f"point-blank shot never scored, total={total}"
