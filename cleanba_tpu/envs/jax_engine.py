@@ -283,6 +283,9 @@ def _games():
     from cleanba_tpu.envs.jax_games_wave10 import (
         BATTLEZONE, ICE_HOCKEY, TUTANKHAM, VENTURE,
     )
+    from cleanba_tpu.envs.jax_games_wave11 import (
+        DEFENDER, GRAVITAR, ROBOTANK, SURROUND,
+    )
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -329,6 +332,10 @@ def _games():
         "Venture-v5": VENTURE,
         "IceHockey-v5": ICE_HOCKEY,
         "BattleZone-v5": BATTLEZONE,
+        "Surround-v5": SURROUND,
+        "Defender-v5": DEFENDER,
+        "Robotank-v5": ROBOTANK,
+        "Gravitar-v5": GRAVITAR,
     }
 
 

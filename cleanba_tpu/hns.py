@@ -64,6 +64,10 @@ ATARI_SCORES: Dict[str, tuple] = {
     "Venture-v5": (0.0, 1187.5),
     "IceHockey-v5": (-11.2, 0.9),
     "BattleZone-v5": (2360.0, 37187.5),
+    "Surround-v5": (-10.0, 6.5),
+    "Defender-v5": (2874.5, 18688.9),
+    "Robotank-v5": (2.2, 8.9),
+    "Gravitar-v5": (173.0, 3351.4),
 }
 
 

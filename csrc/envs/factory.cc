@@ -53,6 +53,10 @@ std::unique_ptr<Game> make_tutankham_game();
 std::unique_ptr<Game> make_venture_game();
 std::unique_ptr<Game> make_ice_hockey_game();
 std::unique_ptr<Game> make_battlezone_game();
+std::unique_ptr<Game> make_surround_game();
+std::unique_ptr<Game> make_defender_game();
+std::unique_ptr<Game> make_robotank_game();
+std::unique_ptr<Game> make_gravitar_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -111,6 +115,10 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Venture-v5") return make_venture_game();
   if (task == "IceHockey-v5") return make_ice_hockey_game();
   if (task == "BattleZone-v5") return make_battlezone_game();
+  if (task == "Surround-v5") return make_surround_game();
+  if (task == "Defender-v5") return make_defender_game();
+  if (task == "Robotank-v5") return make_robotank_game();
+  if (task == "Gravitar-v5") return make_gravitar_game();
   return nullptr;
 }
 

@@ -1,44 +1,70 @@
 #!/usr/bin/env bash
-# Round-4 chip-job queue: serializes every remaining single-chip job in
-# verdict-priority order once the in-flight seed-1 HNS sweep (over the
-# pre-wave-9 catalog) finishes. Each stage is individually resumable and
-# individually bounded, so a slow stage cannot starve the ones after it.
+# Round-4 chip-job queue (v2): serializes the remaining single-chip jobs in
+# verdict-priority order with a global deadline so the chip is free for the
+# driver's bench run at round end. Each stage is resumable, bounded, and
+# skipped outright if its start would pass the deadline.
 #
-#   bash scripts/round4_chip_queue.sh >> /tmp/chip_queue.log 2>&1 &
+#   bash scripts/round4_chip_queue.sh <deadline_epoch> >> /tmp/chip_queue.log 2>&1 &
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+DEADLINE="${1:?usage: round4_chip_queue.sh <deadline_epoch>}"
 SWEEP_DIR=runs/hns10m
 OLD_GAMES=30   # catalog size the in-flight sweep was launched with
+
+left() { echo $((DEADLINE - $(date +%s))); }
+stage() {  # stage <name> <min_seconds_needed> <cap_seconds> <cmd...>
+  local name="$1" need="$2" cap="$3"
+  shift 3
+  if [ "$(left)" -lt "$need" ]; then
+    echo "[queue] SKIP $name (only $(left)s left, needs ${need}s)"
+    return 0
+  fi
+  local budget=$(( $(left) < cap ? $(left) : cap ))
+  echo "[queue] stage: $name (budget ${budget}s, $(left)s to deadline)"
+  timeout "$budget" "$@" || true
+}
 
 echo "[queue] waiting for the seed-1 sweep over the original $OLD_GAMES games"
 while true; do
   n=$(ls -a "$SWEEP_DIR" 2>/dev/null | grep -c "^\.done_.*_s1$" || true)
-  if [ "$n" -ge "$OLD_GAMES" ]; then break; fi
+  if [ "$n" -ge "$OLD_GAMES" ] || [ "$(left)" -lt 9000 ]; then break; fi
   sleep 60
 done
-echo "[queue] original catalog done; stopping the running sweep cleanly"
+echo "[queue] stopping the running sweep cleanly"
 touch "$SWEEP_DIR/.stop"
-# Wait for the sweep process to release the chip (its in-flight game ends).
 while pgrep -f "train_impala_anakin.*$SWEEP_DIR" > /dev/null 2>&1; do sleep 20; done
-sleep 10
+sleep 5
 rm -f "$SWEEP_DIR/.stop"
 
-echo "[queue] stage 1: seed-1 sweep over the wave-9 games (new catalog)"
-SEEDS=1 timeout 7200 bash scripts/run_hns_sweep.sh 10000000 "$SWEEP_DIR"
+SEEDS=1 stage "wave-9/10/11 seed-1 sweep" 3600 6600 \
+  bash scripts/run_hns_sweep.sh 10000000 "$SWEEP_DIR"
 
-echo "[queue] stage 2: dispatch-pipeline perf sweep + anakin re-measure"
-timeout 2400 python scripts/perf_sweep.py --pipeline --skip-async \
-  --skip-sebulba --out static/perf_sweep_r4.jsonl
+stage "pipeline perf sweep" 1500 2100 \
+  python scripts/perf_sweep.py --pipeline --skip-async --skip-sebulba \
+  --out static/perf_sweep_r4.jsonl
 
-echo "[queue] stage 3: procgen learning runs"
-timeout 2700 bash scripts/run_procgen_train.sh 8000000 runs/procgen_train
+stage "procgen training" 1500 2400 \
+  bash scripts/run_procgen_train.sh 8000000 runs/procgen_train
 
-echo "[queue] stage 4: Sebulba curve chunk (checkpointed, resumable)"
-timeout 3300 bash scripts/run_sebulba_curve.sh 50000000 runs/sebulba50 || true
+stage "sebulba curve chunk" 1800 2700 \
+  bash scripts/run_sebulba_curve.sh 50000000 runs/sebulba50
 
-echo "[queue] stage 5: seed-variance 50M runs"
-timeout 4200 bash scripts/run_seed_variance.sh 50000000 runs/seed_variance
+stage "seed-variance (seed 2)" 1500 2100 \
+  python -m cleanba_tpu.benchmark --env-ids Breakout-v5 --num-seeds 1 \
+  --start-seed 2 --timeout-minutes 45 --retries 1 --no-auto-tag \
+  --command "python -m cleanba_tpu.train_impala_anakin --env-id Breakout-v5 \
+    --local-num-envs 128 --num-steps 20 --bf16 --total-timesteps 50000000 \
+    --log-frequency 50 --run-dir runs/seed_variance --run-name var_breakout_s{seed}"
 
-echo "[queue] stage 6: seed-2 sweep (whatever time remains)"
-SEEDS=2 bash scripts/run_hns_sweep.sh 10000000 "$SWEEP_DIR"
+stage "seed-variance (seed 3)" 1500 2100 \
+  python -m cleanba_tpu.benchmark --env-ids Breakout-v5 --num-seeds 1 \
+  --start-seed 3 --timeout-minutes 45 --retries 1 --no-auto-tag \
+  --command "python -m cleanba_tpu.train_impala_anakin --env-id Breakout-v5 \
+    --local-num-envs 128 --num-steps 20 --bf16 --total-timesteps 50000000 \
+    --log-frequency 50 --run-dir runs/seed_variance --run-name var_breakout_s{seed}"
+
+SEEDS=2 stage "seed-2 sweep" 1200 99999 \
+  bash scripts/run_hns_sweep.sh 10000000 "$SWEEP_DIR"
+
+echo "[queue] done ($(left)s before deadline)"

@@ -165,7 +165,9 @@ def test_truncation_cap():
                                   "WizardOfWor-v5", "Asteroids-v5",
                                   "Centipede-v5", "Tutankham-v5",
                                   "Venture-v5", "IceHockey-v5",
-                                  "BattleZone-v5"])
+                                  "BattleZone-v5", "Surround-v5",
+                                  "Defender-v5", "Robotank-v5",
+                                  "Gravitar-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()

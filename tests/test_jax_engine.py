@@ -1466,3 +1466,76 @@ def test_ice_hockey_shot_into_open_goal_scores():
         if total >= 1.0:
             break
     assert total >= 1.0, f"point-blank shot never scored, total={total}"
+
+
+# ---------------------------------------------------------------------------
+# Wave-11 games (Surround, Defender, Robotank, Gravitar) — parity + contract
+# ---------------------------------------------------------------------------
+
+_WAVE11 = ["Surround-v5", "Defender-v5", "Robotank-v5", "Gravitar-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE11)
+def test_wave11_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE11)
+def test_wave11_random_walk_contract(task):
+    """Random play moves the score and every wave-11 game terminates."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    moved, saw_term = 0.0, False
+    for i in range(6000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
+        moved += abs(float(rr))
+        if bool(term) or bool(trunc):
+            saw_term = True
+        if saw_term and moved > 0:
+            break
+    assert saw_term, f"{task}: no episode ever ended"
+    assert moved > 0, f"{task}: score never moved under a random walk"
+
+
+def test_surround_first_to_ten_ends_the_game():
+    """An idle rider drives straight into the wall every round: the AI takes
+    10 rounds and the game ends at -10 (surround.cc)."""
+    from cleanba_tpu.envs.jax_games_wave11 import _sr_act, _sr_reset
+
+    act = jax.jit(_sr_act)
+    key = jax.random.PRNGKey(0)
+    s = _sr_reset(None)
+    total = 0.0
+    for t in range(4000):
+        key, sub = jax.random.split(key)
+        s, r = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(0), sub)
+        total += float(r)
+        if bool(s.over):
+            break
+    assert bool(s.over), "game never ended"
+    assert int(s.a_score) == 10, f"AI should win 10 rounds, got {int(s.a_score)}"
+    assert total <= -8.0, f"idle play should lose nearly every round, got {total}"
+
+
+def test_gravitar_star_is_deadly_without_thrust():
+    """A ship that never thrusts falls into the star's gravity well and
+    burns all three lives (gravitar.cc)."""
+    from cleanba_tpu.envs.jax_games_wave11 import _gv_act, _gv_reset
+
+    act = jax.jit(_gv_act)
+    s = _gv_reset(None)
+    for t in range(4000):
+        s, _ = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(0), None)
+        if bool(s.over):
+            break
+    assert bool(s.over), "the star never claimed the drifting ship"
