@@ -76,6 +76,7 @@ NATIVE_ATARI_TASKS = (
     "Berzerk-v5", "WizardOfWor-v5", "Asteroids-v5", "Centipede-v5",
     "Tutankham-v5", "Venture-v5", "IceHockey-v5", "BattleZone-v5",
     "Surround-v5", "Defender-v5", "Robotank-v5", "Gravitar-v5",
+    "DoubleDunk-v5", "Hero-v5", "YarsRevenge-v5", "Krull-v5",
 )
 NATIVE_PROCGEN_TASKS = (
     "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",

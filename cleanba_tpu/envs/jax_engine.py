@@ -286,6 +286,9 @@ def _games():
     from cleanba_tpu.envs.jax_games_wave11 import (
         DEFENDER, GRAVITAR, ROBOTANK, SURROUND,
     )
+    from cleanba_tpu.envs.jax_games_wave12 import (
+        DOUBLE_DUNK, HERO, KRULL, YARS_REVENGE,
+    )
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -336,6 +339,10 @@ def _games():
         "Defender-v5": DEFENDER,
         "Robotank-v5": ROBOTANK,
         "Gravitar-v5": GRAVITAR,
+        "DoubleDunk-v5": DOUBLE_DUNK,
+        "Hero-v5": HERO,
+        "YarsRevenge-v5": YARS_REVENGE,
+        "Krull-v5": KRULL,
     }
 
 

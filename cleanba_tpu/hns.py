@@ -68,6 +68,10 @@ ATARI_SCORES: Dict[str, tuple] = {
     "Defender-v5": (2874.5, 18688.9),
     "Robotank-v5": (2.2, 8.9),
     "Gravitar-v5": (173.0, 3351.4),
+    "DoubleDunk-v5": (-18.6, -16.4),
+    "Hero-v5": (1027.0, 30826.4),
+    "YarsRevenge-v5": (3092.9, 54576.9),
+    "Krull-v5": (1598.0, 2665.5),
 }
 
 

@@ -57,6 +57,10 @@ std::unique_ptr<Game> make_surround_game();
 std::unique_ptr<Game> make_defender_game();
 std::unique_ptr<Game> make_robotank_game();
 std::unique_ptr<Game> make_gravitar_game();
+std::unique_ptr<Game> make_double_dunk_game();
+std::unique_ptr<Game> make_hero_game();
+std::unique_ptr<Game> make_yars_revenge_game();
+std::unique_ptr<Game> make_krull_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -119,6 +123,10 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Defender-v5") return make_defender_game();
   if (task == "Robotank-v5") return make_robotank_game();
   if (task == "Gravitar-v5") return make_gravitar_game();
+  if (task == "DoubleDunk-v5") return make_double_dunk_game();
+  if (task == "Hero-v5") return make_hero_game();
+  if (task == "YarsRevenge-v5") return make_yars_revenge_game();
+  if (task == "Krull-v5") return make_krull_game();
   return nullptr;
 }
 

@@ -21,7 +21,10 @@ cd "$(dirname "$0")/.."
 
 STEPS="${1:-10000000}"
 RUN_DIR="${2:-runs/hns10m}"
-SEEDS="${SEEDS:-1 2}"
+# Always sweep missing seed-1 runs first (done markers make repeats free):
+# game waves landing after a sweep launch still get seed-1 coverage before
+# any seed-2 pass starts.
+SEEDS="1 ${SEEDS:-2}"
 GAMES=$(python -c "from cleanba_tpu.envs import NATIVE_ATARI_TASKS as T; print(' '.join(T))")
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"

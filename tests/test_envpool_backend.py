@@ -15,12 +15,12 @@ HAVE_ENVPOOL = envpool_available()
 
 
 def _non_native_atari_id():
-    """Pick an Atari id that is guaranteed NOT in the native catalog, however
-    large the catalog grows (Alien-v5 went native in wave 8 and broke the
-    previous hard-coded choice)."""
+    """Pick an EnvPool Atari id that is guaranteed NOT in the native catalog,
+    however large it grows: these ALE titles sit outside the Atari-57 suite
+    the engine targets, so they stay EnvPool-only by design."""
     from cleanba_tpu.envs import NATIVE_ATARI_TASKS
 
-    for candidate in ("Zaxxon-v5", "YarsRevenge-v5", "Venture-v5", "Skiing-v5"):
+    for candidate in ("AirRaid-v5", "Carnival-v5", "Adventure-v5", "Pooyan-v5"):
         if candidate not in NATIVE_ATARI_TASKS:
             return candidate
     raise AssertionError("all candidate ids are native now; extend the list")

@@ -167,7 +167,8 @@ def test_truncation_cap():
                                   "Venture-v5", "IceHockey-v5",
                                   "BattleZone-v5", "Surround-v5",
                                   "Defender-v5", "Robotank-v5",
-                                  "Gravitar-v5"])
+                                  "Gravitar-v5", "DoubleDunk-v5",
+                                  "Hero-v5", "YarsRevenge-v5", "Krull-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()
@@ -183,9 +184,13 @@ def test_other_games_spec_and_determinism(task):
         s1, s2 = e1.step(a), e2.step(a)
         assert np.array_equal(s1[0], s2[0])
         reward_seen += float(np.abs(s1[1]).sum())
-    # Venture is genuinely sparse (its published random-play anchor is 0.0):
-    # 200 random steps cannot be expected to loot a treasure room.
-    if task != "Venture-v5":
+    # Genuinely sparse games cannot be expected to score within 200 random
+    # steps (Venture's published random anchor is 0.0; a basket, a floor
+    # descent, or a shield nibble takes longer than 800 raw frames of
+    # drift). Their 6000-step random-walk contracts in test_jax_engine.py
+    # still require the score to move.
+    sparse = {"Venture-v5", "DoubleDunk-v5", "Hero-v5", "YarsRevenge-v5"}
+    if task not in sparse:
         assert reward_seen > 0, f"{task}: no rewards under random play"
     e1.close()
     e2.close()

@@ -1539,3 +1539,94 @@ def test_gravitar_star_is_deadly_without_thrust():
         if bool(s.over):
             break
     assert bool(s.over), "the star never claimed the drifting ship"
+
+
+# ---------------------------------------------------------------------------
+# Wave-12 games (DoubleDunk, Hero, YarsRevenge, Krull) — parity + contract
+# ---------------------------------------------------------------------------
+
+_WAVE12 = ["DoubleDunk-v5", "Hero-v5", "YarsRevenge-v5", "Krull-v5"]
+
+
+@pytest.mark.parametrize("task", _WAVE12)
+def test_wave12_reset_frames_match_cpp_engine(task):
+    if not _native_available():
+        pytest.skip("native engine not built")
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    _, obs = jenv.reset(jax.random.PRNGKey(0))
+    cenv = make_env(task, seed=0, num_envs=1)()
+    cobs, _ = cenv.reset()
+    cenv.close()
+    assert np.array_equal(np.asarray(obs), cobs[0]), f"{task} reset frame differs"
+
+
+@pytest.mark.parametrize("task", _WAVE12)
+def test_wave12_random_walk_contract(task):
+    """Random play moves the score and every wave-12 game terminates."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, PROTOCOLS["machado"])
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    moved, saw_term = 0.0, False
+    for i in range(6000):
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(int(rng.integers(0, jenv.num_actions))))
+        moved += abs(float(rr))
+        if bool(term) or bool(trunc):
+            saw_term = True
+        if saw_term and moved > 0:
+            break
+    assert saw_term, f"{task}: no episode ever ended"
+    assert moved > 0, f"{task}: score never moved under a random walk"
+
+
+def test_yars_nibble_charge_cannon_kill():
+    """Nibbling shield cells pays +69 each and charges the cannon; a charged
+    cannon fired through the eaten gap destroys the Qotile for +2000
+    (yars_revenge.cc)."""
+    from cleanba_tpu.envs.jax_games_wave12 import _yr_act, _yr_reset
+
+    act = jax.jit(_yr_act)
+    s = _yr_reset(None)
+    # Eat a row of cells along the Qotile's beam row (cannon_y ~ 43 when the
+    # Yar stands at py=41: 41 + 2 = 43 -> shield row (43-22)//4 = 5).
+    total = 0.0
+    for c in range(4):
+        s = s.replace(px=jnp.float32(66.0 + c * 4.0 - 1.0), py=jnp.float32(41.0))
+        s, r = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(0), None)
+        total += float(r)
+    assert int(s.charge) >= 4, f"nibbles never charged the cannon: {int(s.charge)}"
+    assert total >= 4 * 69.0, f"nibbles must pay 69 each, got {total}"
+    # Retreat left, line up with the carved row, fire.
+    s = s.replace(px=jnp.float32(6.0), py=jnp.float32(41.0),
+                  mis_x=jnp.float32(6.0), mis_y=jnp.float32(80.0))
+    got_q = False
+    for t in range(60):
+        s, r = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(1), None)
+        total += float(r)
+        if float(r) >= 2000.0:
+            got_q = True
+            break
+    assert got_q, f"cannon never destroyed the Qotile, total={total}"
+
+
+def test_krull_glaive_returns_to_hand():
+    """The thrown glaive flies out its range and homes back until caught
+    (krull.cc glaive_state machine)."""
+    from cleanba_tpu.envs.jax_games_wave12 import _kr_act, _kr_reset
+
+    act = jax.jit(_kr_act)
+    key = jax.random.PRNGKey(0)
+    s = _kr_reset(None)
+    key, sub = jax.random.split(key)
+    s, _ = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(1), sub)
+    assert int(s.glaive) == 1, "throw did not launch the glaive"
+    states = set()
+    for t in range(60):
+        key, sub = jax.random.split(key)
+        s, _ = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(0), sub)
+        states.add(int(s.glaive))
+        if int(s.glaive) == 0:
+            break
+    assert 2 in states, "glaive never turned for home"
+    assert int(s.glaive) == 0, "glaive never came back to hand"
