@@ -77,6 +77,8 @@ NATIVE_ATARI_TASKS = (
     "Tutankham-v5", "Venture-v5", "IceHockey-v5", "BattleZone-v5",
     "Surround-v5", "Defender-v5", "Robotank-v5", "Gravitar-v5",
     "DoubleDunk-v5", "Hero-v5", "YarsRevenge-v5", "Krull-v5",
+    "MontezumaRevenge-v5", "Pitfall-v5", "PrivateEye-v5", "Solaris-v5",
+    "VideoPinball-v5",
 )
 NATIVE_PROCGEN_TASKS = (
     "Bigfish-v0", "BigfishEasy-v0", "BigfishHard-v0",

@@ -289,6 +289,9 @@ def _games():
     from cleanba_tpu.envs.jax_games_wave12 import (
         DOUBLE_DUNK, HERO, KRULL, YARS_REVENGE,
     )
+    from cleanba_tpu.envs.jax_games_wave13 import (
+        MONTEZUMA, PITFALL, PRIVATE_EYE, SOLARIS, VIDEO_PINBALL,
+    )
 
     return {
         "Breakout-v5": _BREAKOUT,
@@ -343,6 +346,11 @@ def _games():
         "Hero-v5": HERO,
         "YarsRevenge-v5": YARS_REVENGE,
         "Krull-v5": KRULL,
+        "MontezumaRevenge-v5": MONTEZUMA,
+        "Pitfall-v5": PITFALL,
+        "PrivateEye-v5": PRIVATE_EYE,
+        "Solaris-v5": SOLARIS,
+        "VideoPinball-v5": VIDEO_PINBALL,
     }
 
 

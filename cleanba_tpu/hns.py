@@ -72,6 +72,11 @@ ATARI_SCORES: Dict[str, tuple] = {
     "Hero-v5": (1027.0, 30826.4),
     "YarsRevenge-v5": (3092.9, 54576.9),
     "Krull-v5": (1598.0, 2665.5),
+    "MontezumaRevenge-v5": (0.0, 4753.3),
+    "Pitfall-v5": (-229.4, 6463.7),
+    "PrivateEye-v5": (24.9, 69571.3),
+    "Solaris-v5": (1236.3, 12326.7),
+    "VideoPinball-v5": (16256.9, 17297.6),
 }
 
 

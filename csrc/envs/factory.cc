@@ -61,6 +61,11 @@ std::unique_ptr<Game> make_double_dunk_game();
 std::unique_ptr<Game> make_hero_game();
 std::unique_ptr<Game> make_yars_revenge_game();
 std::unique_ptr<Game> make_krull_game();
+std::unique_ptr<Game> make_montezuma_game();
+std::unique_ptr<Game> make_pitfall_game();
+std::unique_ptr<Game> make_private_eye_game();
+std::unique_ptr<Game> make_solaris_game();
+std::unique_ptr<Game> make_video_pinball_game();
 std::unique_ptr<Env> make_bigfish_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_maze_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_leaper_env(const EnvOptions& opts, bool hard);
@@ -127,6 +132,11 @@ std::unique_ptr<Game> make_game(const std::string& task) {
   if (task == "Hero-v5") return make_hero_game();
   if (task == "YarsRevenge-v5") return make_yars_revenge_game();
   if (task == "Krull-v5") return make_krull_game();
+  if (task == "MontezumaRevenge-v5") return make_montezuma_game();
+  if (task == "Pitfall-v5") return make_pitfall_game();
+  if (task == "PrivateEye-v5") return make_private_eye_game();
+  if (task == "Solaris-v5") return make_solaris_game();
+  if (task == "VideoPinball-v5") return make_video_pinball_game();
   return nullptr;
 }
 

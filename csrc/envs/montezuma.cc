@@ -1,0 +1,250 @@
+// Montezuma's Revenge — from-scratch C++ clone of the famous first room:
+// climb down the ladders, leap the patrolling skull, take the key (+100),
+// climb back up and open a temple door (+300). Notoriously sparse; the
+// skull is the only killer.
+//
+// Stands in for EnvPool's ALE MontezumaRevenge-v5 in the reference's
+// benchmark configs (reference make_env, cleanba/cleanba_ppo.py:126-146);
+// ALE ROMs are not available here, so the engine provides a rules-true
+// clone with identical protocol semantics (sticky actions / frameskip /
+// stacking are applied by AtariLikeEnv). The pure-JAX twin lives in
+// cleanba_tpu/envs/jax_games_wave13.py and must mirror these rules exactly.
+
+#include <cmath>
+#include <cstring>
+
+#include "atari_like.h"
+
+namespace cleanba {
+namespace {
+
+constexpr float kTopY = 20.0f, kMidY = 44.0f, kBotY = 72.0f;  // platform tops
+constexpr float kMidL0 = 6.0f, kMidL1 = 34.0f;    // left mid platform span
+constexpr float kMidR0 = 50.0f, kMidR1 = 78.0f;   // right mid platform span
+constexpr float kLadTop = 40.0f;                  // top->mid ladder x
+constexpr float kLadL = 12.0f, kLadR = 64.0f;     // mid->bottom ladders
+constexpr float kLadW = 5.0f;
+constexpr float kPlayerW = 4.0f, kPlayerH = 7.0f;
+constexpr float kWalk = 0.9f;
+constexpr float kClimb = 0.8f;
+constexpr float kJumpV = -2.0f;
+constexpr float kGravity = 0.17f;
+constexpr float kSkullMin = 28.0f, kSkullMax = 52.0f;
+constexpr float kSkullW = 5.0f, kSkullH = 5.0f;
+constexpr int kLives = 3;
+
+class MontezumaGame : public Game {
+ public:
+  void reset_game(PCG32&) override {
+    lives_ = kLives;
+    score_ = 0;
+    over_ = false;
+    has_key_ = false;
+    doors_[0] = doors_[1] = true;
+    skull_x_ = kSkullMin;
+    skull_dir_ = 1.0f;
+    respawn();
+  }
+
+  float act(const AleAction& a, PCG32&) override {
+    if (over_) return 0.0f;
+    float reward = 0.0f;
+    float skull_speed = 0.5f;
+
+    // Ladder logic: enter when aligned and pressing up/down.
+    float cx = px_ + kPlayerW / 2.0f;
+    bool on_lad_col = near(cx, kLadTop) || near(cx, kLadL) || near(cx, kLadR);
+    if (!climbing_ && grounded_ && a.dy != 0 && on_lad_col) {
+      bool down_ok = a.dy > 0 && py_ + kPlayerH < kBotY;  // something below
+      bool up_ok = a.dy < 0 && py_ + kPlayerH > kTopY + 1.0f;
+      if (down_ok || up_ok) {
+        climbing_ = true;
+        vy_ = 0.0f;
+        px_ = near(cx, kLadTop) ? kLadTop - kPlayerW / 2.0f + kLadW / 2.0f - 1.0f
+              : near(cx, kLadL) ? kLadL - kPlayerW / 2.0f + kLadW / 2.0f - 1.0f
+                                : kLadR - kPlayerW / 2.0f + kLadW / 2.0f - 1.0f;
+      }
+    }
+    if (climbing_) {
+      float prev_feet = py_ + kPlayerH;
+      py_ += static_cast<float>(a.dy) * kClimb;
+      // Step off at a platform whose top the feet CROSS this frame (the
+      // starting platform itself must not re-capture the climber).
+      for (float top : {kTopY, kMidY, kBotY}) {
+        bool crossed = (a.dy > 0 && top > prev_feet + 0.5f) ||
+                       (a.dy < 0 && top < prev_feet - 0.5f);
+        if (std::fabs(py_ + kPlayerH - top) < 1.0f && crossed) {
+          bool plat_here = platform_under(px_ + kPlayerW / 2.0f, top);
+          if (plat_here) {
+            py_ = top - kPlayerH;
+            climbing_ = false;
+            grounded_ = true;
+            break;
+          }
+        }
+      }
+      if (py_ + kPlayerH > kBotY) {
+        py_ = kBotY - kPlayerH;
+        climbing_ = false;
+        grounded_ = true;
+      }
+      if (py_ < 6.0f) py_ = 6.0f;
+    } else {
+      px_ += static_cast<float>(a.dx) * kWalk;
+      if (px_ < 2.0f) px_ = 2.0f;
+      if (px_ > 80.0f - kPlayerW) px_ = 80.0f - kPlayerW;
+      if (grounded_ && a.dy < 0) {  // UP jumps
+        vy_ = kJumpV;
+        grounded_ = false;
+      }
+      float prev_bottom = py_ + kPlayerH;
+      vy_ += kGravity;
+      py_ += vy_;
+      grounded_ = false;
+      for (float top : {kTopY, kMidY, kBotY}) {
+        if (vy_ >= 0.0f && prev_bottom <= top && py_ + kPlayerH >= top &&
+            platform_under(px_ + kPlayerW / 2.0f, top)) {
+          py_ = top - kPlayerH;
+          vy_ = 0.0f;
+          grounded_ = true;
+          break;
+        }
+      }
+      if (py_ + kPlayerH > kBotY) {
+        py_ = kBotY - kPlayerH;
+        vy_ = 0.0f;
+        grounded_ = true;
+      }
+    }
+
+    // The skull patrols the bottom floor.
+    skull_x_ += skull_dir_ * skull_speed;
+    if (skull_x_ < kSkullMin) { skull_x_ = kSkullMin; skull_dir_ = 1.0f; }
+    if (skull_x_ > kSkullMax) { skull_x_ = kSkullMax; skull_dir_ = -1.0f; }
+    float sy = kBotY - kSkullH;
+    if (px_ + kPlayerW > skull_x_ && px_ < skull_x_ + kSkullW &&
+        py_ + kPlayerH > sy && py_ < sy + kSkullH) {
+      reward += lose_life();
+      return reward;
+    }
+
+    // The key sits at the left end of the mid platform.
+    if (!has_key_ && px_ < kMidL0 + 6.0f &&
+        std::fabs(py_ + kPlayerH - kMidY) < 2.0f) {
+      has_key_ = true;
+      reward += 100.0f;
+      score_ += 100;
+    }
+    // Doors at the top corners.
+    if (has_key_ && std::fabs(py_ + kPlayerH - kTopY) < 2.0f) {
+      for (int d = 0; d < 2; ++d) {
+        float dx0 = d == 0 ? 2.0f : 78.0f;
+        if (doors_[d] && px_ + kPlayerW > dx0 && px_ < dx0 + 4.0f) {
+          doors_[d] = false;
+          has_key_ = false;
+          reward += 300.0f;
+          score_ += 300;
+          // Both doors opened: the room re-arms (fresh key and doors).
+          if (!doors_[0] && !doors_[1]) {
+            doors_[0] = doors_[1] = true;
+          }
+        }
+      }
+    }
+    return reward;
+  }
+
+  void render(uint8_t* f) const override {
+    std::memset(f, 0, kScreenPx);
+    // Platforms.
+    hline(f, 2, 80, kTopY);
+    hline(f, kMidL0, kMidL1, kMidY);
+    hline(f, kMidR0, kMidR1, kMidY);
+    hline(f, 2, 80, kBotY);
+    // Ladders.
+    vlad(f, kLadTop, kTopY, kMidY);
+    vlad(f, kLadL, kMidY, kBotY);
+    vlad(f, kLadR, kMidY, kBotY);
+    // Doors.
+    if (doors_[0]) draw_rect(f, 2.0f, kTopY - 12.0f, 4.0f, 12.0f, 140);
+    if (doors_[1]) draw_rect(f, 78.0f, kTopY - 12.0f, 4.0f, 12.0f, 140);
+    // Key.
+    if (!has_key_)
+      draw_rect(f, kMidL0 + 2.0f, kMidY - 4.0f, 3.0f, 3.0f, 220);
+    // Skull.
+    draw_rect(f, skull_x_, kBotY - kSkullH, kSkullW, kSkullH, 180);
+    draw_rect(f, px_, py_, kPlayerW, kPlayerH, 255);
+    if (has_key_) for (int k = 0; k < 3; ++k) f[3 * kScreen + 2 + k] = 220;
+    for (int s = 0; s < score_ / 100 && s < 40; ++s) f[1 * kScreen + 10 + s * 2] = 200;
+    for (int l = 0; l < lives_ && l < kLives; ++l)
+      for (int k = 0; k < 3; ++k) f[82 * kScreen + 2 + l * 5 + k] = 160;
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int minimal_actions() const override { return 18; }
+  int minimal_to_full(int a) const override { return a < 0 || a >= 18 ? 0 : a; }
+
+ private:
+  static bool near(float cx, float lad_x) {
+    return std::fabs(cx - (lad_x + kLadW / 2.0f)) < 3.0f;
+  }
+
+  static bool platform_under(float cx, float top) {
+    if (top == kTopY || top == kBotY) return true;
+    return (cx >= kMidL0 && cx < kMidL1) || (cx >= kMidR0 && cx < kMidR1);
+  }
+
+  static void hline(uint8_t* f, float x0, float x1, float y) {
+    for (int y_ = static_cast<int>(y); y_ < static_cast<int>(y) + 2; ++y_)
+      for (int x = static_cast<int>(x0); x < static_cast<int>(x1); ++x)
+        f[y_ * kScreen + x] = 100;
+  }
+
+  static void vlad(uint8_t* f, float lx, float y0, float y1) {
+    for (int y = static_cast<int>(y0) + 2; y < static_cast<int>(y1); y += 2)
+      for (int x = static_cast<int>(lx); x < static_cast<int>(lx + kLadW); ++x)
+        f[y * kScreen + x] = 80;
+  }
+
+  float lose_life() {
+    --lives_;
+    if (lives_ <= 0) {
+      over_ = true;
+      return 0.0f;
+    }
+    respawn();
+    return 0.0f;
+  }
+
+  void respawn() {
+    px_ = 38.0f;
+    py_ = kTopY - kPlayerH;
+    vy_ = 0.0f;
+    grounded_ = true;
+    climbing_ = false;
+  }
+
+  static void draw_rect(uint8_t* f, float fx, float fy, float fw, float fh, uint8_t v) {
+    int x0 = static_cast<int>(fx), y0 = static_cast<int>(fy);
+    int x1 = static_cast<int>(fx + fw), y1 = static_cast<int>(fy + fh);
+    for (int y = y0 < 0 ? 0 : y0; y < y1 && y < kScreen; ++y)
+      for (int x = x0 < 0 ? 0 : x0; x < x1 && x < kScreen; ++x)
+        f[y * kScreen + x] = v;
+  }
+
+  float px_ = 38.0f, py_ = 13.0f, vy_ = 0.0f;
+  bool grounded_ = true, climbing_ = false;
+  float skull_x_ = kSkullMin, skull_dir_ = 1.0f;
+  bool has_key_ = false;
+  bool doors_[2] = {true, true};
+  int lives_ = kLives;
+  int score_ = 0;
+  bool over_ = false;
+};
+
+}  // namespace
+
+std::unique_ptr<Game> make_montezuma_game() { return std::make_unique<MontezumaGame>(); }
+
+}  // namespace cleanba

@@ -1,0 +1,185 @@
+// Video Pinball — from-scratch C++ clone with the classic mechanics: FIRE
+// launches the ball from the plunger lane; three bumpers pay +100 a hit;
+// the left/right flippers (LEFT/RIGHT buttons) punch the ball back up; a
+// drained ball is one of three.
+//
+// Stands in for EnvPool's ALE VideoPinball-v5 in the reference's benchmark
+// configs (reference make_env, cleanba/cleanba_ppo.py:126-146); ALE ROMs
+// are not available here, so the engine provides a rules-true clone with
+// identical protocol semantics (sticky actions / frameskip / stacking are
+// applied by AtariLikeEnv). The pure-JAX twin lives in
+// cleanba_tpu/envs/jax_games_wave13.py and must mirror these rules exactly.
+
+#include <cmath>
+#include <cstring>
+
+#include "atari_like.h"
+
+namespace cleanba {
+namespace {
+
+constexpr float kWallL = 4.0f, kWallR = 74.0f, kWallT = 8.0f;
+constexpr float kLaneX = 76.0f;                 // plunger lane
+constexpr float kBall = 3.0f;
+constexpr float kGravity = 0.06f;
+constexpr float kBounce = 0.85f;
+constexpr int kBumpers = 3;
+const float kBumpX[kBumpers] = {20.0f, 52.0f, 36.0f};
+const float kBumpY[kBumpers] = {24.0f, 24.0f, 42.0f};
+constexpr float kBumpR = 4.0f;
+constexpr float kBumpKick = 1.8f;
+constexpr int kBumpCd = 6;
+constexpr float kFlipY = 70.0f;                 // flipper row
+constexpr float kFlipLx0 = 18.0f, kFlipLx1 = 36.0f;
+constexpr float kFlipRx0 = 42.0f, kFlipRx1 = 60.0f;
+constexpr float kDrainX0 = 36.0f, kDrainX1 = 42.0f;
+constexpr int kBalls = 3;
+
+class VideoPinballGame : public Game {
+ public:
+  void reset_game(PCG32&) override {
+    balls_ = kBalls;
+    score_ = 0;
+    over_ = false;
+    rack();
+  }
+
+  float act(const AleAction& a, PCG32& rng) override {
+    if (over_) return 0.0f;
+    float reward = 0.0f;
+
+    if (in_lane_) {
+      if (a.fire) {
+        in_lane_ = false;
+        bx_ = kLaneX - 4.0f;
+        by_ = 30.0f;
+        bvx_ = -1.2f - rng.uniform() * 0.6f;
+        bvy_ = -2.0f - rng.uniform() * 0.4f;
+      }
+      return reward;
+    }
+
+    bvy_ += kGravity;
+    bx_ += bvx_;
+    by_ += bvy_;
+    if (bump_cd_ > 0) --bump_cd_;
+
+    // Walls.
+    if (bx_ < kWallL) { bx_ = kWallL; bvx_ = -bvx_ * kBounce; }
+    if (bx_ + kBall > kWallR) { bx_ = kWallR - kBall; bvx_ = -bvx_ * kBounce; }
+    if (by_ < kWallT) { by_ = kWallT; bvy_ = -bvy_ * kBounce; }
+
+    // Bumpers.
+    for (int b = 0; b < kBumpers; ++b) {
+      float dx = bx_ + kBall / 2.0f - kBumpX[b];
+      float dy = by_ + kBall / 2.0f - kBumpY[b];
+      float d2 = dx * dx + dy * dy;
+      float rr = kBumpR + kBall / 2.0f;
+      if (d2 < rr * rr && bump_cd_ == 0) {
+        float d = std::sqrt(d2) + 1e-3f;
+        bvx_ = dx / d * kBumpKick;
+        bvy_ = dy / d * kBumpKick;
+        bump_cd_ = kBumpCd;
+        reward += 100.0f;
+        score_ += 100;
+      }
+    }
+
+    // Flippers: an active flipper in contact punches the ball up-inward.
+    bool lf = a.dx < 0 || a.fire;   // LEFT (or FIRE = both)
+    bool rf = a.dx > 0 || a.fire;
+    if (by_ + kBall >= kFlipY && by_ + kBall <= kFlipY + 4.0f && bvy_ > 0.0f) {
+      float cx = bx_ + kBall / 2.0f;
+      if (lf && cx >= kFlipLx0 && cx < kFlipLx1) {
+        bvy_ = -2.4f;
+        bvx_ += 0.8f;
+        reward += 1.0f;  // flipper save nudges the score (table tick)
+        score_ += 1;
+      } else if (rf && cx >= kFlipRx0 && cx < kFlipRx1) {
+        bvy_ = -2.4f;
+        bvx_ -= 0.8f;
+        reward += 1.0f;
+        score_ += 1;
+      } else if (cx < kDrainX0 || cx >= kDrainX1) {
+        // Passive flipper face: a weak rest bounce.
+        bvy_ = -bvy_ * 0.5f;
+      }
+    }
+
+    // Drain.
+    if (by_ > 80.0f) {
+      --balls_;
+      if (balls_ <= 0) {
+        over_ = true;
+        return reward;
+      }
+      rack();
+    }
+    return reward;
+  }
+
+  void render(uint8_t* f) const override {
+    std::memset(f, 0, kScreenPx);
+    // Cabinet walls and the plunger lane.
+    for (int y = static_cast<int>(kWallT); y < 80; ++y) {
+      f[y * kScreen + static_cast<int>(kWallL) - 1] = 90;
+      f[y * kScreen + static_cast<int>(kWallR) + 1] = 90;
+      f[y * kScreen + 81] = 90;
+    }
+    for (int x = static_cast<int>(kWallL) - 1; x <= 81; ++x)
+      f[static_cast<int>(kWallT) * kScreen + x] = 90;
+    for (int b = 0; b < kBumpers; ++b)
+      draw_rect(f, kBumpX[b] - kBumpR, kBumpY[b] - kBumpR, 2 * kBumpR,
+                2 * kBumpR, 150);
+    // Flippers.
+    draw_rect(f, kFlipLx0, kFlipY, kFlipLx1 - kFlipLx0, 2.0f, 180);
+    draw_rect(f, kFlipRx0, kFlipY, kFlipRx1 - kFlipRx0, 2.0f, 180);
+    // Ball (in the lane while racked).
+    if (in_lane_) draw_rect(f, kLaneX, 60.0f, kBall, kBall, 255);
+    else draw_rect(f, bx_, by_, kBall, kBall, 255);
+    for (int s = 0; s < score_ / 100 && s < 40; ++s) f[1 * kScreen + 2 + s * 2] = 200;
+    for (int l = 0; l < balls_ && l < kBalls; ++l)
+      for (int k = 0; k < 3; ++k) f[82 * kScreen + 2 + l * 5 + k] = 160;
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return balls_; }
+  int minimal_actions() const override { return 9; }
+  int minimal_to_full(int a) const override {
+    // NOOP FIRE UP RIGHT LEFT DOWN UPFIRE RIGHTFIRE LEFTFIRE
+    static const int map[9] = {0, 1, 2, 3, 4, 5, 10, 11, 12};
+    return map[a < 0 || a >= 9 ? 0 : a];
+  }
+
+ private:
+  void rack() {
+    in_lane_ = true;
+    bx_ = kLaneX;
+    by_ = 60.0f;
+    bvx_ = bvy_ = 0.0f;
+    bump_cd_ = 0;
+  }
+
+  static void draw_rect(uint8_t* f, float fx, float fy, float fw, float fh, uint8_t v) {
+    int x0 = static_cast<int>(fx), y0 = static_cast<int>(fy);
+    int x1 = static_cast<int>(fx + fw), y1 = static_cast<int>(fy + fh);
+    for (int y = y0 < 0 ? 0 : y0; y < y1 && y < kScreen; ++y)
+      for (int x = x0 < 0 ? 0 : x0; x < x1 && x < kScreen; ++x)
+        f[y * kScreen + x] = v;
+  }
+
+  bool in_lane_ = true;
+  float bx_ = kLaneX, by_ = 60.0f, bvx_ = 0.0f, bvy_ = 0.0f;
+  int bump_cd_ = 0;
+  int balls_ = kBalls;
+  int score_ = 0;
+  bool over_ = false;
+};
+
+}  // namespace
+
+std::unique_ptr<Game> make_video_pinball_game() {
+  return std::make_unique<VideoPinballGame>();
+}
+
+}  // namespace cleanba

@@ -168,7 +168,10 @@ def test_truncation_cap():
                                   "BattleZone-v5", "Surround-v5",
                                   "Defender-v5", "Robotank-v5",
                                   "Gravitar-v5", "DoubleDunk-v5",
-                                  "Hero-v5", "YarsRevenge-v5", "Krull-v5"])
+                                  "Hero-v5", "YarsRevenge-v5", "Krull-v5",
+                                  "MontezumaRevenge-v5", "Pitfall-v5",
+                                  "PrivateEye-v5", "Solaris-v5",
+                                  "VideoPinball-v5"])
 def test_other_games_spec_and_determinism(task):
     e1 = make_env(task, seed=5, num_envs=2)()
     e2 = make_env(task, seed=5, num_envs=2)()
@@ -189,7 +192,8 @@ def test_other_games_spec_and_determinism(task):
     # descent, or a shield nibble takes longer than 800 raw frames of
     # drift). Their 6000-step random-walk contracts in test_jax_engine.py
     # still require the score to move.
-    sparse = {"Venture-v5", "DoubleDunk-v5", "Hero-v5", "YarsRevenge-v5"}
+    sparse = {"Venture-v5", "DoubleDunk-v5", "Hero-v5", "YarsRevenge-v5",
+              "MontezumaRevenge-v5", "Pitfall-v5", "PrivateEye-v5"}
     if task not in sparse:
         assert reward_seen > 0, f"{task}: no rewards under random play"
     e1.close()
