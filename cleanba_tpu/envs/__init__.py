@@ -58,7 +58,9 @@ _STATE_TASKS = {"CartPole-v1"}
 
 # Procgen-family ids handled by the engine's procedural 64x64 RGB tasks.
 _PROCGEN_PREFIXES = ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot",
-                     "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper")
+                     "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper",
+                     "Ninja", "Plunder", "Caveflyer", "Climber", "Dodgeball",
+                     "Bossfight")
 
 # Task ids the from-scratch engines (csrc/ + jax_engine) implement. Ids
 # outside this set route to the EnvPool backend under backend='auto'
@@ -91,6 +93,12 @@ NATIVE_PROCGEN_TASKS = (
     "Miner-v0", "MinerEasy-v0", "MinerHard-v0",
     "Heist-v0", "HeistEasy-v0", "HeistHard-v0",
     "Jumper-v0", "JumperEasy-v0", "JumperHard-v0",
+    "Ninja-v0", "NinjaEasy-v0", "NinjaHard-v0",
+    "Plunder-v0", "PlunderEasy-v0", "PlunderHard-v0",
+    "Caveflyer-v0", "CaveflyerEasy-v0", "CaveflyerHard-v0",
+    "Climber-v0", "ClimberEasy-v0", "ClimberHard-v0",
+    "Dodgeball-v0", "DodgeballEasy-v0", "DodgeballHard-v0",
+    "Bossfight-v0", "BossfightEasy-v0", "BossfightHard-v0",
 )
 
 

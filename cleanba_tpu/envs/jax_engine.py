@@ -625,7 +625,9 @@ def _jax_tasks():
     procgen = tuple(
         f"{p}{suffix}-v0"
         for p in ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot",
-                  "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper")
+                  "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper",
+                  "Ninja", "Plunder", "Caveflyer", "Climber", "Dodgeball",
+                  "Bossfight")
         for suffix in ("", "Hard")
     )
     return atari + procgen + ("CartPole-v1",)
@@ -647,7 +649,8 @@ def make_jax_env(env_id: str, protocol_opts: dict | None = None):
         return JaxCartPoleEnv(env_id, max_episode_steps=opts.get("max_episode_steps", 500))
     if env_id.startswith(
         ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot", "Fruitbot",
-         "Coinrun", "Miner", "Heist", "Jumper")
+         "Coinrun", "Miner", "Heist", "Jumper", "Ninja", "Plunder",
+         "Caveflyer", "Climber", "Dodgeball", "Bossfight")
     ) and env_id.endswith("-v0"):
         from cleanba_tpu.envs.jax_procgen import JaxBigfishEnv, JaxMazeEnv
         from cleanba_tpu.envs.jax_procgen_extra import JaxChaserEnv, JaxLeaperEnv
@@ -655,16 +658,25 @@ def make_jax_env(env_id: str, protocol_opts: dict | None = None):
         from cleanba_tpu.envs.jax_procgen_wave9 import (
             JaxCoinrunEnv, JaxHeistEnv, JaxJumperEnv, JaxMinerEnv,
         )
+        from cleanba_tpu.envs.jax_procgen_wave14 import (
+            JaxBossfightEnv, JaxCaveflyerEnv, JaxClimberEnv, JaxDodgeballEnv,
+            JaxNinjaEnv, JaxPlunderEnv,
+        )
 
         hard = "Hard" in env_id
         prefixes = ("Bigfish", "Maze", "Leaper", "Chaser", "Starpilot",
-                    "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper")
+                    "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper",
+                    "Ninja", "Plunder", "Caveflyer", "Climber", "Dodgeball",
+                    "Bossfight")
         cls = {
             "Bigfish": JaxBigfishEnv, "Maze": JaxMazeEnv,
             "Leaper": JaxLeaperEnv, "Chaser": JaxChaserEnv,
             "Starpilot": JaxStarpilotEnv, "Fruitbot": JaxFruitbotEnv,
             "Coinrun": JaxCoinrunEnv, "Miner": JaxMinerEnv,
             "Heist": JaxHeistEnv, "Jumper": JaxJumperEnv,
+            "Ninja": JaxNinjaEnv, "Plunder": JaxPlunderEnv,
+            "Caveflyer": JaxCaveflyerEnv, "Climber": JaxClimberEnv,
+            "Dodgeball": JaxDodgeballEnv, "Bossfight": JaxBossfightEnv,
         }[next(p for p in prefixes if env_id.startswith(p))]
         return cls(env_id, hard=hard, max_episode_steps=1000)
     return JaxAtariEnv(env_id, **opts)

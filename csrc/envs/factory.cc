@@ -76,6 +76,12 @@ std::unique_ptr<Env> make_coinrun_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_miner_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_heist_env(const EnvOptions& opts, bool hard);
 std::unique_ptr<Env> make_jumper_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_ninja_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_plunder_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_caveflyer_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_climber_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_dodgeball_env(const EnvOptions& opts, bool hard);
+std::unique_ptr<Env> make_bossfight_env(const EnvOptions& opts, bool hard);
 
 namespace {
 
@@ -163,6 +169,18 @@ std::unique_ptr<Env> make_procgen(const std::string& task, const EnvOptions& opt
   if (task == "HeistHard-v0") return make_heist_env(opts, true);
   if (task == "Jumper-v0" || task == "JumperEasy-v0") return make_jumper_env(opts, false);
   if (task == "JumperHard-v0") return make_jumper_env(opts, true);
+  if (task == "Ninja-v0" || task == "NinjaEasy-v0") return make_ninja_env(opts, false);
+  if (task == "NinjaHard-v0") return make_ninja_env(opts, true);
+  if (task == "Plunder-v0" || task == "PlunderEasy-v0") return make_plunder_env(opts, false);
+  if (task == "PlunderHard-v0") return make_plunder_env(opts, true);
+  if (task == "Caveflyer-v0" || task == "CaveflyerEasy-v0") return make_caveflyer_env(opts, false);
+  if (task == "CaveflyerHard-v0") return make_caveflyer_env(opts, true);
+  if (task == "Climber-v0" || task == "ClimberEasy-v0") return make_climber_env(opts, false);
+  if (task == "ClimberHard-v0") return make_climber_env(opts, true);
+  if (task == "Dodgeball-v0" || task == "DodgeballEasy-v0") return make_dodgeball_env(opts, false);
+  if (task == "DodgeballHard-v0") return make_dodgeball_env(opts, true);
+  if (task == "Bossfight-v0" || task == "BossfightEasy-v0") return make_bossfight_env(opts, false);
+  if (task == "BossfightHard-v0") return make_bossfight_env(opts, true);
   return nullptr;
 }
 

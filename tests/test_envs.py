@@ -202,7 +202,9 @@ def test_other_games_spec_and_determinism(task):
 
 @needs_native
 @pytest.mark.parametrize("task", ["BigfishHard-v0", "Maze-v0", "Leaper-v0", "ChaserHard-v0",
-                                  "Coinrun-v0", "MinerHard-v0", "Heist-v0", "Jumper-v0"])
+                                  "Coinrun-v0", "MinerHard-v0", "Heist-v0", "Jumper-v0",
+                                  "Ninja-v0", "PlunderHard-v0", "Caveflyer-v0",
+                                  "Climber-v0", "DodgeballHard-v0", "Bossfight-v0"])
 def test_procgen_spec_and_determinism(task):
     # Procgen contract (reference legacy_scripts/cleanba_ppo_envpool_procgen.py
     # :115-130): plain make, 64x64x3 uint8 RGB obs, 15-action space, raw

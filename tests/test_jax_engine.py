@@ -1730,3 +1730,62 @@ def test_video_pinball_launch_and_bumpers():
         if bool(s.over):
             break
     assert total >= 100.0, f"bumpers never paid, total={total}"
+
+
+# ---------------------------------------------------------------------------
+# Wave-14 procgen — the 16-game suite complete
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("task", ["Ninja-v0", "PlunderHard-v0", "Caveflyer-v0",
+                                  "ClimberHard-v0", "Dodgeball-v0",
+                                  "Bossfight-v0"])
+def test_wave14_procgen_contract(task):
+    """The last six procgen tasks follow the protocol: 64x64x3 uint8 obs, 15
+    actions, terminating episodes, score movement under (biased-)random
+    play; the platformers get a right+jump+special-heavy action mix."""
+    rng = np.random.default_rng(0)
+    jenv = make_jax_env(task, {})
+    assert jenv.num_actions == 15
+    state, obs = jenv.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (64, 64, 3) and obs.dtype == jnp.uint8
+    step = jax.jit(jenv.step)
+    platformer = task.startswith(("Ninja", "Climber"))
+    biased = np.array([7, 7, 8, 8, 5, 9, 9, 1], np.int64)
+    moved, terms = 0.0, 0
+    for i in range(6000):
+        a = int(biased[rng.integers(0, len(biased))]) if platformer \
+            else int(rng.integers(0, 15))
+        state, obs, r, rr, term, trunc, first = step(state, jnp.int32(a))
+        moved += abs(float(rr))
+        terms += int(term) + int(trunc)
+        if terms > 0 and moved > 0:
+            break
+    assert terms > 0, f"{task}: never terminated"
+    assert moved > 0, f"{task}: reward never moved"
+
+
+def test_bossfight_shield_gates_damage():
+    """Shots land only while the shield is down; hits pay +1 each
+    (bossfight.cc phase machine)."""
+    from cleanba_tpu.envs.jax_procgen_wave14 import JaxBossfightEnv
+
+    env = JaxBossfightEnv("Bossfight-v0")
+    s, _ = env.reset(jax.random.PRNGKey(2))
+    step = jax.jit(env.step)
+    total, hit_down = 0.0, 0.0
+    for t in range(3000):
+        # Lead the strafing boss: aim at its predicted column at impact time
+        # (shot climbs 2.6/frame from ~54 to the boss band at ~13).
+        flight = (float(s.py) - 13.0) / 2.6
+        bx = float(s.boss_x) + 5.0 + float(s.boss_vx) * flight
+        me = float(s.px) + 2.5
+        a = 5 if abs(bx - me) < 2.0 else (7 if bx > me else 1)
+        shielded = bool(s.shield)
+        s, _, r, rr, term, trunc, first = step(s, jnp.int32(a))
+        total += float(rr)
+        if float(rr) > 0 and not shielded:
+            hit_down += float(rr)
+        if bool(term) or bool(trunc):
+            break
+    assert hit_down > 0, f"no damage ever landed with the shield down (total={total})"
