@@ -37,34 +37,34 @@ while pgrep -f "train_impala_anakin.*$SWEEP_DIR" > /dev/null 2>&1; do sleep 20; 
 sleep 5
 rm -f "$SWEEP_DIR/.stop"
 
-SEEDS=1 stage "wave-9/10/11 seed-1 sweep" 3600 6600 \
+SEEDS=1 stage "new-games seed-1 sweep (first slice)" 1800 3600 \
   bash scripts/run_hns_sweep.sh 10000000 "$SWEEP_DIR"
 
-stage "pipeline perf sweep" 1500 2100 \
+stage "pipeline perf sweep" 1200 1800 \
   python scripts/perf_sweep.py --pipeline --skip-async --skip-sebulba \
   --out static/perf_sweep_r4.jsonl
 
-stage "procgen training" 1500 2400 \
+stage "procgen training" 1200 1500 \
   bash scripts/run_procgen_train.sh 8000000 runs/procgen_train
 
-stage "sebulba curve chunk" 1800 2700 \
+stage "sebulba curve chunk" 1000 1200 \
   bash scripts/run_sebulba_curve.sh 50000000 runs/sebulba50
 
-stage "seed-variance (seed 2)" 1500 2100 \
+stage "seed-variance (seed 2)" 1200 1500 \
   python -m cleanba_tpu.benchmark --env-ids Breakout-v5 --num-seeds 1 \
   --start-seed 2 --timeout-minutes 45 --retries 1 --no-auto-tag \
   --command "python -m cleanba_tpu.train_impala_anakin --env-id Breakout-v5 \
     --local-num-envs 128 --num-steps 20 --bf16 --total-timesteps 50000000 \
     --log-frequency 50 --run-dir runs/seed_variance --run-name var_breakout_s{seed}"
 
-stage "seed-variance (seed 3)" 1500 2100 \
+stage "seed-variance (seed 3)" 1200 1500 \
   python -m cleanba_tpu.benchmark --env-ids Breakout-v5 --num-seeds 1 \
   --start-seed 3 --timeout-minutes 45 --retries 1 --no-auto-tag \
   --command "python -m cleanba_tpu.train_impala_anakin --env-id Breakout-v5 \
     --local-num-envs 128 --num-steps 20 --bf16 --total-timesteps 50000000 \
     --log-frequency 50 --run-dir runs/seed_variance --run-name var_breakout_s{seed}"
 
-SEEDS=2 stage "seed-2 sweep" 1200 99999 \
+SEEDS=2 stage "seed-1 fill + seed-2 sweep" 600 99999 \
   bash scripts/run_hns_sweep.sh 10000000 "$SWEEP_DIR"
 
 echo "[queue] done ($(left)s before deadline)"
