@@ -56,6 +56,8 @@ def main(argv=None) -> None:
                    help="score = mean return over the last frac of training")
     p.add_argument("--out", default="HNS.md")
     p.add_argument("--json", default="static/hns_sweep.json")
+    p.add_argument("--notes", default="static/hns_notes.md",
+                   help="optional markdown appendix (outlier analysis etc.)")
     p.add_argument("--title", default="IMPALA (Anakin), 10M env steps, 1 TPU v5e chip")
     args = p.parse_args(argv)
 
@@ -126,6 +128,9 @@ def main(argv=None) -> None:
         )
     lines.append("")
     md = "\n".join(lines)
+    if args.notes and os.path.exists(args.notes):
+        with open(args.notes) as nf:
+            md = md + "\n" + nf.read()
     with open(args.out, "w") as f:
         f.write(md)
 
