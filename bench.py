@@ -180,12 +180,13 @@ def bench_sebulba(algo: str, num_updates: int = 12) -> float:
         cfg = PPOConfig(num_steps=128, update_epochs=4,
                         total_timesteps=128 * 128 * num_updates, **common)
     else:
-        # asap=True (fully-async actors, no params handshake) measured +11%
-        # over the handshake mode in the async lever sweep
-        # (static/perf_sweep.jsonl: 1297 vs 1168 SPS); sub-batching
-        # (--async-batch-size < pool) LOSES on this tunneled host because
-        # every extra inference call pays the ~25ms RTT (701@64, 463@32).
-        cfg = ImpalaConfig(num_steps=20, asap=True,
+        # Dispatch pipelining (round 4): sub-batch async_batch_size=32 with
+        # inference_pipeline_depth=4 keeps four inference round trips in
+        # flight, so the ~25ms tunnel RTT overlaps instead of serializing —
+        # measured 1790 SPS vs 1175 full-pool and 463 unpipelined at the
+        # same sub-batch (static/perf_sweep_r4.jsonl).
+        cfg = ImpalaConfig(num_steps=20, async_batch_size=32,
+                           inference_pipeline_depth=4,
                            total_timesteps=128 * 20 * max(num_updates, 30), **common)
     import contextlib
 
