@@ -310,3 +310,45 @@ def test_chaser_dots_score_and_enemies_catch():
     assert total > 0, "no dots eaten"
     assert catches > 0, "no enemy ever caught the player"
     env.close()
+
+
+def test_native_catalog_is_the_complete_atari57():
+    """Completeness guard: the native catalog must contain the canonical
+    Atari-57 suite (Machado et al. / ALE benchmark list) exactly once each,
+    so no wave refactor can silently drop a game."""
+    from cleanba_tpu.envs import NATIVE_ATARI_TASKS
+
+    atari57 = {
+        "Alien", "Amidar", "Assault", "Asterix", "Asteroids", "Atlantis",
+        "BankHeist", "BattleZone", "BeamRider", "Berzerk", "Bowling",
+        "Boxing", "Breakout", "Centipede", "ChopperCommand", "CrazyClimber",
+        "Defender", "DemonAttack", "DoubleDunk", "Enduro", "FishingDerby",
+        "Freeway", "Frostbite", "Gopher", "Gravitar", "Hero", "IceHockey",
+        "Jamesbond", "Kangaroo", "Krull", "KungFuMaster", "MontezumaRevenge",
+        "MsPacman", "NameThisGame", "Phoenix", "Pitfall", "Pong",
+        "PrivateEye", "Qbert", "Riverraid", "RoadRunner", "Robotank",
+        "Seaquest", "Skiing", "Solaris", "SpaceInvaders", "StarGunner",
+        "Surround", "Tennis", "TimePilot", "Tutankham", "UpNDown", "Venture",
+        "VideoPinball", "WizardOfWor", "YarsRevenge", "Zaxxon",
+    }
+    assert len(atari57) == 57
+    native = {t[:-3] for t in NATIVE_ATARI_TASKS}
+    missing = atari57 - native
+    assert not missing, f"Atari-57 games missing from the native catalog: {sorted(missing)}"
+    assert len(NATIVE_ATARI_TASKS) == len(set(NATIVE_ATARI_TASKS)), "duplicate task ids"
+
+
+def test_native_catalog_is_the_complete_procgen16():
+    """Same guard for the 16-game procgen suite (easy + hard variants)."""
+    from cleanba_tpu.envs import NATIVE_PROCGEN_TASKS
+
+    procgen16 = {
+        "Bigfish", "Bossfight", "Caveflyer", "Chaser", "Climber", "Coinrun",
+        "Dodgeball", "Fruitbot", "Heist", "Jumper", "Leaper", "Maze",
+        "Miner", "Ninja", "Plunder", "Starpilot",
+    }
+    assert len(procgen16) == 16
+    bases = {t.replace("Easy-v0", "-v0").replace("Hard-v0", "-v0")[:-3]
+             for t in NATIVE_PROCGEN_TASKS}
+    missing = procgen16 - bases
+    assert not missing, f"procgen games missing: {sorted(missing)}"
