@@ -27,6 +27,10 @@ __version__ = "0.1.0"
 import os as _os
 
 if _os.environ.get("JAX_PLATFORMS"):
-    import jax as _jax
+    try:
+        import jax as _jax
 
-    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - tooling imports must never break
+        pass

@@ -628,7 +628,7 @@ def _jax_tasks():
                   "Fruitbot", "Coinrun", "Miner", "Heist", "Jumper",
                   "Ninja", "Plunder", "Caveflyer", "Climber", "Dodgeball",
                   "Bossfight")
-        for suffix in ("", "Hard")
+        for suffix in ("", "Easy", "Hard")
     )
     return atari + procgen + ("CartPole-v1",)
 

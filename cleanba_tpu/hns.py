@@ -66,7 +66,7 @@ ATARI_SCORES: Dict[str, tuple] = {
     "BattleZone-v5": (2360.0, 37187.5),
     "Surround-v5": (-10.0, 6.5),
     "Defender-v5": (2874.5, 18688.9),
-    "Robotank-v5": (2.2, 8.9),
+    "Robotank-v5": (2.2, 11.9),
     "Gravitar-v5": (173.0, 3351.4),
     "DoubleDunk-v5": (-18.6, -16.4),
     "Hero-v5": (1027.0, 30826.4),
@@ -76,7 +76,7 @@ ATARI_SCORES: Dict[str, tuple] = {
     "Pitfall-v5": (-229.4, 6463.7),
     "PrivateEye-v5": (24.9, 69571.3),
     "Solaris-v5": (1236.3, 12326.7),
-    "VideoPinball-v5": (16256.9, 17297.6),
+    "VideoPinball-v5": (16256.9, 17667.9),
 }
 
 

@@ -50,8 +50,10 @@ def run_score(run_dir: str, tail_frac: float) -> tuple[float, int]:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--runs", default="runs/hns_sweep/hns_*",
-                   help="glob of run directories named hns_{env_id}_s{seed}")
+    p.add_argument("--runs", default=["runs/hns_sweep/hns_*"], nargs="+",
+                   help="glob(s) of run directories named hns_{env_id}_s{seed}; "
+                        "when one (game, seed) matches in several globs (e.g. a "
+                        "10M sweep dir and a 50M re-run dir) the longest run wins")
     p.add_argument("--tail-frac", type=float, default=0.1,
                    help="score = mean return over the last frac of training")
     p.add_argument("--out", default="HNS.md")
@@ -62,8 +64,9 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     by_game: dict[str, dict[int, float]] = defaultdict(dict)
-    final_steps: dict[str, int] = {}
-    for run_dir in sorted(glob.glob(args.runs)):
+    steps_by_seed: dict[str, dict[int, int]] = defaultdict(dict)
+    run_dirs = sorted({d for pat in args.runs for d in glob.glob(pat)})
+    for run_dir in run_dirs:
         name = os.path.basename(os.path.normpath(run_dir))
         m = re.match(r"hns_(.+)_s(\d+)$", name)
         if not m:
@@ -75,8 +78,10 @@ def main(argv=None) -> None:
         except ValueError as e:
             print(f"skipping {name}: {e}")
             continue
-        by_game[env_id][seed] = score
-        final_steps[env_id] = last_step
+        if last_step >= steps_by_seed[env_id].get(seed, 0):
+            by_game[env_id][seed] = score
+            steps_by_seed[env_id][seed] = last_step
+    final_steps = {g: max(s.values()) for g, s in steps_by_seed.items() if s}
 
     games = sorted(g for g in by_game if g in ATARI_SCORES)
     skipped = sorted(set(by_game) - set(games))
@@ -93,11 +98,13 @@ def main(argv=None) -> None:
         mean_ret = float(np.mean(per_seed))
         rows.append((g, seeds, per_seed, mean_ret, human_normalized_score(g, mean_ret)))
 
+    seed_counts = sorted({len(r[1]) for r in rows}) or [0]
+    seeds_str = (str(seed_counts[0]) if len(seed_counts) == 1
+                 else f"{seed_counts[0]}–{seed_counts[-1]}")
     lines = [
         "# Aggregate human-normalized scores — native task catalog",
         "",
-        f"**{args.title}**, seeds per game: "
-        f"{max(len(r[1]) for r in rows) if rows else 0}. "
+        f"**{args.title}**, seeds per game: {seeds_str}. "
         "Every run was launched by the experiment orchestrator "
         "(`python -m cleanba_tpu.benchmark`, the L10 layer; reference "
         "`cleanrl_utils/benchmark.py:88-103`) and scored as the mean "
@@ -118,13 +125,14 @@ def main(argv=None) -> None:
         "(CURVES.md) shows the 50M endpoint exceeds the reference's 1-GPU",
         "result; these curves are on the same trajectory.",
         "",
-        "| Game | seeds | per-seed return | mean return | HNS |",
-        "|---|---|---|---|---|",
+        "| Game | steps | seeds | per-seed return | mean return | HNS |",
+        "|---|---|---|---|---|---|",
     ]
     for g, seeds, per_seed, mean_ret, hns in rows:
         per_seed_s = ", ".join(f"{v:.1f}" for v in per_seed)
         lines.append(
-            f"| {g} | {len(seeds)} | {per_seed_s} | {mean_ret:.1f} | {hns*100:.1f}% |"
+            f"| {g} | {final_steps[g] / 1e6:.0f}M | {len(seeds)} | {per_seed_s} "
+            f"| {mean_ret:.1f} | {hns*100:.1f}% |"
         )
     lines.append("")
     md = "\n".join(lines)
