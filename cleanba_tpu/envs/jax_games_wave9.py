@@ -410,7 +410,8 @@ def _kg_at_ladder(x, fl):
 def _kg_act(s: KangarooCore, dx, dy, fire, key):
     del key
     live = ~s.over
-    mspeed = 0.6 + 0.2 * s.level.astype(jnp.float32)
+    lvl_f = s.level.astype(jnp.float32)
+    mspeed = 0.6 + 0.25 * lvl_f
     punch_cd = jnp.maximum(s.punch_cd - 1, 0)
     stand = jnp.asarray(_KG_STAND_Y)
     dyf = dy.astype(jnp.float32)
@@ -443,8 +444,11 @@ def _kg_act(s: KangarooCore, dx, dy, fire, key):
     floor = jnp.where(cl, floor_cl, floor_wk)
     climbing = jnp.where(cl, climbing_cl, starts)
 
-    reward = jnp.where(rescued, 2000.0, 0.0)
-    score = s.score + jnp.where(rescued, 2000, 0)
+    # Rescue bonus ticks down with level time (arcade bonus clock, mirrors
+    # kangaroo.cc): 2000 at level start, -100 every 450 raw frames, floor 200.
+    bonus = jnp.maximum(jnp.int32(200), 2000 - 100 * (s.timer // 450))
+    reward = jnp.where(rescued, bonus.astype(jnp.float32), 0.0)
+    score = s.score + jnp.where(rescued, bonus, 0)
 
     # -- monkeys -------------------------------------------------------------
     held = s.monkey_hold > 0
@@ -474,13 +478,24 @@ def _kg_act(s: KangarooCore, dx, dy, fire, key):
     reward = reward + n_hit.astype(jnp.float32) * 200.0
     score = score + n_hit * 200
 
-    # -- apples --------------------------------------------------------------
+    # -- monkey contact (lethal, kangaroo.cc contact check after the punch;
+    # climbing is safe, a same-frame punch saves the player) ------------------
+    contact = (
+        ~climbing & ~rescued
+        & (jnp.arange(_KG_MONKEYS) == floor) & (hold == 0)
+        & (mx + _KG_MW > x) & (mx < x + _KG_PW)
+    ).any()
+
+    # -- apples (period shrinks / speed grows with level, kangaroo.cc ramp) ---
     active_m = hold == 0
+    period = jnp.maximum(jnp.int32(40),
+                         jnp.asarray(_KG_APPLE_PERIOD) - 16 * s.level)
     apple_timer = jnp.where(active_m & ~apple_live, apple_timer + 1, apple_timer)
-    throws = active_m & ~apple_live & (apple_timer >= jnp.asarray(_KG_APPLE_PERIOD))
+    throws = active_m & ~apple_live & (apple_timer >= period)
     apple_timer = jnp.where(throws, 0, apple_timer)
     ax0 = mx + _KG_MW / 2.0
-    avx = jnp.where(x >= ax0, _KG_AV, -_KG_AV)
+    av = _KG_AV + 0.2 * lvl_f
+    avx = jnp.where(x >= ax0, av, -av)
     apple_x = jnp.where(throws, ax0, s.apple_x)
     apple_vx = jnp.where(throws, avx, s.apple_vx)
     apple_live = apple_live | throws
@@ -492,7 +507,7 @@ def _kg_act(s: KangarooCore, dx, dy, fire, key):
     py = y - _KG_PH
     ox = (x + _KG_PW > apple_x) & (x < apple_x + _KG_AW)
     oy = (py + _KG_PH > ay) & (py < ay + _KG_AH)
-    struck = ~rescued & (apple_live & ox & oy).any()
+    struck = ~rescued & ~contact & (apple_live & ox & oy).any()
 
     # -- fruit ---------------------------------------------------------------
     fy = stand[jnp.asarray(_KG_FRUIT_FLOOR)] - _KG_PH + 2.0
@@ -500,7 +515,7 @@ def _kg_act(s: KangarooCore, dx, dy, fire, key):
         & (x < jnp.asarray(_KG_FRUIT_X) + _KG_FW)
     foy = (py + _KG_PH > fy) & (py < fy + _KG_FH)
     grabs = (
-        s.fruit_live & ~climbing & ~rescued & ~struck
+        s.fruit_live & ~climbing & ~rescued & ~contact & ~struck
         & (jnp.asarray(_KG_FRUIT_FLOOR) == floor) & fox & foy
     )
     fruit_live = s.fruit_live & ~grabs
@@ -510,8 +525,8 @@ def _kg_act(s: KangarooCore, dx, dy, fire, key):
 
     # -- timer / deaths / resets ----------------------------------------------
     timer = s.timer + 1
-    timed_out = ~rescued & ~struck & (timer >= _KG_TIMER)
-    died = struck | timed_out
+    timed_out = ~rescued & ~contact & ~struck & (timer >= _KG_TIMER)
+    died = contact | struck | timed_out
     lives = s.lives - died.astype(jnp.int32)
     over = s.over | (died & (lives <= 0))
     level = s.level + rescued.astype(jnp.int32)

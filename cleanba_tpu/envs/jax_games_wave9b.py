@@ -346,9 +346,11 @@ def _jb_act(s: JamesbondCore, dx, dy, fire, key):
     shot_y = jnp.where(shot_live, shot_y + _JB_SHOT_VY, shot_y)
     shot_live = shot_live & (shot_x <= 84.0) & (shot_y >= 0.0)
 
-    # Spawn into the first free slot when the clock fires.
+    # Spawn into the first free slot when the clock fires; the spawn period
+    # shrinks as the wave count climbs (floor 36, jamesbond.cc ramp).
+    period = jnp.maximum(jnp.int32(36), _JB_SPAWN - s.spawn_count // 2)
     spawn_clock = s.spawn_clock + 1
-    spawning = spawn_clock >= _JB_SPAWN
+    spawning = spawn_clock >= period
     spawn_clock = jnp.where(spawning, 0, spawn_clock)
     slot = _first_true(~s.ob_live) & spawning
     new_type = jnp.asarray(_JB_TYPES)[s.spawn_count % 4]
@@ -367,11 +369,19 @@ def _jb_act(s: JamesbondCore, dx, dy, fire, key):
     ob_x = jnp.where(slot, 84.0, s.ob_x)
     ob_y = jnp.where(slot, new_y, s.ob_y)
 
-    # Scroll (spawn-frame movement included, as in the C++ loop); flying
-    # enemies are faster.
-    speed = jnp.where(ob_type == 1, _JB_SCROLL + 0.5, _JB_SCROLL)
+    # Scroll (spawn-frame movement included, as in the C++ loop); speed ramps
+    # without bound with the post-spawn wave count, flying enemies are faster
+    # and home onto the player's altitude (jamesbond.cc ramp).
+    ramp = spawn_count.astype(jnp.float32)
+    speed = jnp.where(ob_type == 1, 1.5 + 0.05 * ramp, 1.0 + 0.025 * ramp)
     ob_x = jnp.where(ob_live, ob_x - speed, ob_x)
     ob_live = ob_live & (ob_x >= -8.0)
+    home = 0.06 + 0.004 * ramp
+    ob_y = jnp.where(
+        ob_live & (ob_type == 1),
+        jnp.clip(ob_y + jnp.sign(py - ob_y) * home, 20.0, 70.0),
+        ob_y,
+    )
 
     w = jnp.asarray(_JB_W)[ob_type]
     h = jnp.asarray(_JB_H)[ob_type]
@@ -458,12 +468,16 @@ _ZX_SITES = 4
 _ZX_SW, _ZX_SH = 6.0, 4.0
 _ZX_SHOT_V = 2.5
 _ZX_LIVES = 3
+_ZX_FUEL_MAX = 60.0   # units; 1/16 unit burned per raw frame (zaxxon.cc)
+_ZX_FUEL_BURN = 0.0625
+_ZX_FUEL_PER_TANK = 16.0
 
 
 @flax.struct.dataclass
 class ZaxxonCore:
     px: jax.Array
     alt: jax.Array
+    fuel: jax.Array
     shot_live: jax.Array
     shot_x: jax.Array
     shot_y: jax.Array
@@ -486,6 +500,7 @@ class ZaxxonCore:
 def _zx_respawn_fields():
     return dict(
         px=jnp.float32(40.0), alt=jnp.float32(3.0),
+        fuel=jnp.float32(_ZX_FUEL_MAX),
         shot_live=jnp.bool_(False), wall_live=jnp.bool_(False),
         wall_clock=jnp.int32(0), site_clock=jnp.int32(0),
         spawn_count=jnp.int32(0), site_live=jnp.zeros(_ZX_SITES, bool),
@@ -519,9 +534,15 @@ def _zx_act(s: ZaxxonCore, dx, dy, fire, key):
     shot_y = jnp.where(shot_live, shot_y - _ZX_SHOT_V, shot_y)
     shot_live = shot_live & (shot_y >= 0.0)
 
+    # Fortress difficulty ramps with every wall cleared (zaxxon.cc ramp):
+    # faster scroll, tighter wall and site cadence.
+    scroll = _ZX_SCROLL + 0.03 * s.walls_cleared.astype(jnp.float32)
+    wall_period = jnp.maximum(jnp.int32(120), _ZX_WALL_PERIOD - 8 * s.walls_cleared)
+    site_period = jnp.maximum(jnp.int32(30), _ZX_SITE_PERIOD - 3 * s.walls_cleared)
+
     # Fortress wall.
     wall_clock = jnp.where(s.wall_live, s.wall_clock, s.wall_clock + 1)
-    wall_spawns = ~s.wall_live & (wall_clock >= _ZX_WALL_PERIOD)
+    wall_spawns = ~s.wall_live & (wall_clock >= wall_period)
     wall_clock = jnp.where(wall_spawns, 0, wall_clock)
     wall_live = s.wall_live | wall_spawns
     wall_y = jnp.where(wall_spawns, -4.0, s.wall_y)
@@ -529,7 +550,7 @@ def _zx_act(s: ZaxxonCore, dx, dy, fire, key):
         wall_spawns, 2.0 + ((s.walls_cleared * 3) % 5).astype(jnp.float32),
         s.wall_req,
     )
-    wall_y = jnp.where(wall_live, wall_y + _ZX_SCROLL, wall_y)
+    wall_y = jnp.where(wall_live, wall_y + scroll, wall_y)
     wall_passes = wall_live & (wall_y >= 84.0)
     wall_live = wall_live & ~wall_passes
     walls_cleared = s.walls_cleared + wall_passes.astype(jnp.int32)
@@ -540,7 +561,7 @@ def _zx_act(s: ZaxxonCore, dx, dy, fire, key):
 
     # Ground sites.
     site_clock = s.site_clock + 1
-    site_spawning = site_clock >= _ZX_SITE_PERIOD
+    site_spawning = site_clock >= site_period
     site_clock = jnp.where(site_spawning, 0, site_clock)
     slot = _first_true(~s.site_live) & site_spawning
     spawned = slot.any()
@@ -551,7 +572,7 @@ def _zx_act(s: ZaxxonCore, dx, dy, fire, key):
     site_tank = jnp.where(slot, is_tank, s.site_tank)
     site_x = jnp.where(slot, new_x, s.site_x)
     site_y = jnp.where(slot, -_ZX_SH, s.site_y)
-    site_y = jnp.where(site_live, site_y + _ZX_SCROLL, site_y)
+    site_y = jnp.where(site_live, site_y + scroll, site_y)
     site_live = site_live & (site_y < 84.0)
 
     shot_hits = (
@@ -565,6 +586,11 @@ def _zx_act(s: ZaxxonCore, dx, dy, fire, key):
     pts = jnp.where(kill, jnp.where(site_tank, 300, 200), 0).sum()
     reward = pts.astype(jnp.float32)
     score = s.score + pts
+    # Shooting a fuel tank refuels (zaxxon.cc shot-hit branch).
+    refuel = (kill & site_tank).any()
+    fuel = jnp.where(refuel,
+                     jnp.minimum(jnp.float32(_ZX_FUEL_MAX), s.fuel + _ZX_FUEL_PER_TANK),
+                     s.fuel)
 
     site_kills = ~wall_kills & (alt < 2.0) & (
         site_live
@@ -572,12 +598,19 @@ def _zx_act(s: ZaxxonCore, dx, dy, fire, key):
         & (_ZX_PY + _ZX_PH > site_y) & (_ZX_PY < site_y + _ZX_SH)
     ).any()
 
-    died = wall_kills | site_kills
+    # Fuel burns every frame; an empty tank crashes the ship (zaxxon.cc).
+    # The burn is skipped on wall/site-death frames (C++ early return), which
+    # is invisible because respawn refills the tank anyway.
+    fuel = fuel - _ZX_FUEL_BURN
+    fuel_out = ~wall_kills & ~site_kills & (fuel <= 0.0)
+
+    died = wall_kills | site_kills | fuel_out
     lives = s.lives - died.astype(jnp.int32)
     over = s.over | (died & (lives <= 0))
     re = _zx_respawn_fields()
     px = jnp.where(died, re["px"], px)
     alt = jnp.where(died, re["alt"], alt)
+    fuel = jnp.where(died, re["fuel"], fuel)
     shot_live = jnp.where(died, re["shot_live"], shot_live)
     wall_live = jnp.where(died, re["wall_live"], wall_live)
     wall_clock = jnp.where(died, re["wall_clock"], wall_clock)
@@ -586,7 +619,7 @@ def _zx_act(s: ZaxxonCore, dx, dy, fire, key):
     site_live = jnp.where(died, re["site_live"], site_live)
 
     out = ZaxxonCore(
-        px=px, alt=alt, shot_live=shot_live, shot_x=shot_x, shot_y=shot_y,
+        px=px, alt=alt, fuel=fuel, shot_live=shot_live, shot_x=shot_x, shot_y=shot_y,
         wall_live=wall_live, wall_y=wall_y, wall_req=wall_req,
         wall_clock=wall_clock, walls_cleared=walls_cleared,
         site_live=site_live, site_tank=site_tank, site_x=site_x,
@@ -621,6 +654,9 @@ def _zx_render(s: ZaxxonCore):
     gauge = (x >= 81) & (x < 83) & gauge_row & (y <= 74) \
         & (gauge_idx >= 0) & (gauge_idx < jnp.minimum(bars, 6))
     f = jnp.where(gauge, jnp.uint8(180), f)
+    fuel_px = jnp.minimum(s.fuel.astype(jnp.int32), 62)
+    fuel_bar = (y == 80) & (x >= 2) & (x - 2 < fuel_px)
+    f = jnp.where(fuel_bar, jnp.uint8(90), f)
     tick = (y == 1) & (x >= 2) & ((x - 2) % 2 == 0) \
         & ((x - 2) // 2 < jnp.minimum(s.score // 100, 40))
     f = jnp.where(tick, jnp.uint8(200), f)

@@ -28,6 +28,13 @@ constexpr int kChickenH = 4;
 constexpr float kStartY = 76.0f;
 constexpr float kGoalY = 8.0f;
 constexpr int kGameFrames = 8192;  // ~the real game's 2-minute timer
+// Round-5 calibration (HNS.md appendix): at 1 px/raw-frame over this 68 px
+// road a crossing took ~1.1 s vs the real cabinet's ~4 s, so raw crossing
+// counts ran ~2.5x the ALE-anchored human score (75 crossings, 253.8% HNS).
+// 0.35 px/frame restores the real crossing economy: a perfect uninterrupted
+// crossing takes ~195 raw frames, capping an episode at ~42 crossings
+// (expert ALE play is ~30-34).
+constexpr float kChickenSpeed = 0.35f;
 
 // Per-lane car speeds (px per raw frame); lanes 0-4 move left, 5-9 right.
 const float kSpeed[kLanes] = {0.6f, 0.9f, 1.2f, 0.5f, 0.8f,
@@ -45,8 +52,8 @@ class FreewayGame : public Game {
 
   float act(const AleAction& a, PCG32&) override {
     if (over_) return 0.0f;
-    // Chicken: up/down only, 1 px per raw frame.
-    chicken_y_ += static_cast<float>(a.dy);
+    // Chicken: up/down only, kChickenSpeed px per raw frame.
+    chicken_y_ += static_cast<float>(a.dy) * kChickenSpeed;
     if (chicken_y_ < kGoalY - 2) chicken_y_ = kGoalY - 2;
     if (chicken_y_ > kStartY) chicken_y_ = kStartY;
 

@@ -3,6 +3,15 @@
 // over ground mounds, shoot the diagonal up-forward gun at flying enemies
 // (+50) and spinning satellites (+100). Colliding with anything costs a life.
 //
+// Round-5 calibration (HNS.md wave-9 appendix): the original clone streamed
+// obstacles at a fixed pace forever, so a trained agent farmed the kill
+// stream to 10.7k (3,887% HNS) — far beyond the real cabinet, where rising
+// wave pressure kills even strong players within a few thousand points.
+// The difficulty now ramps without bound with every spawn (obstacle speed,
+// spawn rate, and flying enemies homing onto the player's altitude), which
+// caps episodes near published strong-agent scores on the real game
+// (IMPALA ~600, R2D2-class low thousands).
+//
 // Stands in for EnvPool's ALE Jamesbond-v5 in the reference's benchmark
 // configs (reference make_env, cleanba/cleanba_ppo.py:126-146); ALE ROMs are
 // not available here, so the engine provides a rules-true clone with
@@ -64,8 +73,11 @@ class JamesbondGame : public Game {
       if (shot_x_ > 84.0f || shot_y_ < 0.0f) shot_live_ = false;
     }
 
-    // Spawn the next obstacle into a free slot.
-    if (++spawn_clock_ >= kSpawnPeriod) {
+    // Spawn the next obstacle into a free slot; the spawn period shrinks as
+    // the wave count climbs (floor 36 raw frames).
+    int period = kSpawnPeriod - spawn_count_ / 2;
+    if (period < 36) period = 36;
+    if (++spawn_clock_ >= period) {
       spawn_clock_ = 0;
       for (int i = 0; i < kSlots; ++i) {
         if (ob_live_[i]) continue;
@@ -85,14 +97,24 @@ class JamesbondGame : public Game {
       }
     }
 
-    // Obstacles scroll left; resolve shots and collisions.
+    // Obstacles scroll left, faster with every spawn (unbounded ramp), and
+    // flying enemies home onto the player's altitude; resolve shots and
+    // collisions.
+    float ramp = static_cast<float>(spawn_count_);
     for (int i = 0; i < kSlots; ++i) {
       if (!ob_live_[i]) continue;
-      float speed = ob_type_[i] == 1 ? kScroll + 0.5f : kScroll;
+      float speed = ob_type_[i] == 1 ? 1.5f + 0.05f * ramp : 1.0f + 0.025f * ramp;
       ob_x_[i] -= speed;
       if (ob_x_[i] < -8.0f) {
         ob_live_[i] = false;
         continue;
+      }
+      if (ob_type_[i] == 1) {
+        float home = 0.06f + 0.004f * ramp;
+        float d = py_ - ob_y_[i];
+        ob_y_[i] += d > 0.0f ? home : (d < 0.0f ? -home : 0.0f);
+        if (ob_y_[i] < 20.0f) ob_y_[i] = 20.0f;
+        if (ob_y_[i] > 70.0f) ob_y_[i] = 70.0f;
       }
       float w = ob_type_[i] == 0 ? 10.0f : 6.0f;
       float h = ob_type_[i] == 0 ? 6.0f : 4.0f;

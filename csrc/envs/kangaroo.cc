@@ -1,7 +1,18 @@
 // Kangaroo — from-scratch C++ clone with the classic mechanics: climb three
-// floors of ladders to rescue the joey (+2000), punch monkeys (+200), grab
-// fruit (+100), dodge thrown apples, against a per-life timer. Each rescue
-// starts the next level with faster monkeys.
+// floors of ladders to rescue the joey (ticking bonus, 2000 max), punch
+// monkeys (+200), grab fruit (+100), dodge thrown apples and the monkeys
+// themselves (contact kills, as in the original), against a per-life timer.
+// Each rescue starts the next level with faster monkeys and denser, faster
+// apples.
+//
+// Round-5 calibration (HNS.md wave-9 appendix): the original clone economy
+// let a trained agent cycle rescue levels at a flat +2000 with no mounting
+// danger (625k/episode, 20,940% HNS — a clone artifact, not ALE-comparable).
+// Three rules-true mechanics from the real cabinet close that loop: the
+// rescue bonus ticks down with level time (the arcade bonus counter), monkey
+// contact is lethal, and per-level difficulty ramps (monkey speed, apple
+// rate/speed) make deep levels unsurvivable, capping episodes near published
+// strong-agent scores on the real game (~10-15k).
 //
 // Stands in for EnvPool's ALE Kangaroo-v5 in the reference's benchmark
 // configs (reference make_env, cleanba/cleanba_ppo.py:126-146); ALE ROMs are
@@ -53,7 +64,7 @@ class KangarooGame : public Game {
   float act(const AleAction& a, PCG32&) override {
     if (over_) return 0.0f;
     float reward = 0.0f;
-    float mspeed = 0.6f + 0.2f * static_cast<float>(level_);
+    float mspeed = 0.6f + 0.25f * static_cast<float>(level_);
 
     if (punch_cd_ > 0) --punch_cd_;
 
@@ -66,9 +77,13 @@ class KangarooGame : public Game {
         ++floor_;
         climbing_ = false;
         if (floor_ == kFloors) {
-          // Rescue! Next level.
-          reward += 2000.0f;
-          score_ += 2000;
+          // Rescue! The bonus counter ticks down with level time (arcade
+          // bonus clock): 2000 at the start, -100 every 450 raw frames,
+          // floor 200.
+          int bonus = 2000 - 100 * (timer_ / 450);
+          if (bonus < 200) bonus = 200;
+          reward += static_cast<float>(bonus);
+          score_ += bonus;
           ++level_;
           reset_level();
           return reward;
@@ -124,16 +139,32 @@ class KangarooGame : public Game {
       }
     }
 
+    // Monkey contact is lethal (real-cabinet rule) — checked after the
+    // punch so a same-frame punch saves the player; climbing is safe.
+    if (!climbing_) {
+      for (int m = 0; m < kMonkeys; ++m) {
+        if (monkey_hold_[m] > 0 || m != floor_) continue;
+        if (monkey_x_[m] + kMonkeyW > x_ && monkey_x_[m] < x_ + kPlayerW) {
+          reward += lose_life();
+          return reward;
+        }
+      }
+    }
+
     // Apples: monkey m (on floor m) lobs one at the player when its timer
-    // fires; one in flight per monkey.
+    // fires; one in flight per monkey. Level ramp: launch period shrinks
+    // (floor 40) and flight speed grows with each rescue.
     for (int m = 0; m < kMonkeys; ++m) {
       if (monkey_hold_[m] > 0) continue;
       if (!apple_live_[m]) {
-        if (++apple_timer_[m] >= 140 + 37 * m) {
+        int period = 140 + 37 * m - 16 * level_;
+        if (period < 40) period = 40;
+        if (++apple_timer_[m] >= period) {
           apple_timer_[m] = 0;
           apple_live_[m] = true;
           apple_x_[m] = monkey_x_[m] + kMonkeyW / 2.0f;
-          apple_vx_[m] = (x_ >= apple_x_[m] ? 1.0f : -1.0f) * kAppleV;
+          float av = kAppleV + 0.2f * static_cast<float>(level_);
+          apple_vx_[m] = (x_ >= apple_x_[m] ? 1.0f : -1.0f) * av;
         }
         continue;
       }

@@ -5,6 +5,15 @@
 // life. The isometric view is flattened to a top-down scroll with the
 // altitude rendered as a side gauge plus the fighter's shadow offset.
 //
+// Round-5 calibration (HNS.md wave-9 appendix): the original clone streamed
+// turrets/tanks at a fixed pace with no survival clock, so a trained agent
+// farmed the respawn stream to 140k (1,531% HNS) — beyond any published
+// score on the real game. Two rules-true mechanics from the real cabinet
+// close that loop: the fighter burns FUEL (shooting fuel tanks refuels, an
+// empty tank crashes the ship) and the fortress difficulty ramps with every
+// wall cleared (scroll speed, wall and site cadence), capping episodes near
+// published strong-agent scores (~10-50k).
+//
 // Stands in for EnvPool's ALE Zaxxon-v5 in the reference's benchmark
 // configs (reference make_env, cleanba/cleanba_ppo.py:126-146); ALE ROMs are
 // not available here, so the engine provides a rules-true clone with
@@ -32,6 +41,9 @@ constexpr int kSites = 4;             // ground-site slots
 constexpr float kSiteW = 6.0f, kSiteH = 4.0f;
 constexpr float kShotV = 2.5f;
 constexpr int kLives = 3;
+constexpr float kFuelMax = 60.0f;     // units; 1/16 unit burned per raw frame
+constexpr float kFuelBurn = 0.0625f;
+constexpr float kFuelPerTank = 16.0f;
 
 class ZaxxonGame : public Game {
  public:
@@ -65,15 +77,23 @@ class ZaxxonGame : public Game {
       if (shot_y_ < 0.0f) shot_live_ = false;
     }
 
+    // Fortress difficulty ramps with every wall cleared: faster scroll,
+    // tighter wall and site cadence.
+    float scroll = kScroll + 0.03f * static_cast<float>(walls_cleared_);
+    int wall_period = kWallPeriod - 8 * walls_cleared_;
+    if (wall_period < 120) wall_period = 120;
+    int site_period = kSitePeriod - 3 * walls_cleared_;
+    if (site_period < 30) site_period = 30;
+
     // Fortress wall approaches; required altitude cycles deterministically.
-    if (!wall_live_ && ++wall_clock_ >= kWallPeriod) {
+    if (!wall_live_ && ++wall_clock_ >= wall_period) {
       wall_clock_ = 0;
       wall_live_ = true;
       wall_y_ = -4.0f;
       wall_req_ = 2.0f + static_cast<float>((walls_cleared_ * 3) % 5);
     }
     if (wall_live_) {
-      wall_y_ += kScroll;
+      wall_y_ += scroll;
       if (wall_y_ >= 84.0f) {
         wall_live_ = false;
         ++walls_cleared_;
@@ -85,7 +105,7 @@ class ZaxxonGame : public Game {
     }
 
     // Ground sites (turrets / every third spawn a fuel tank) stream down.
-    if (++site_clock_ >= kSitePeriod) {
+    if (++site_clock_ >= site_period) {
       site_clock_ = 0;
       for (int i = 0; i < kSites; ++i) {
         if (site_live_[i]) continue;
@@ -99,7 +119,7 @@ class ZaxxonGame : public Game {
     }
     for (int i = 0; i < kSites; ++i) {
       if (!site_live_[i]) continue;
-      site_y_[i] += kScroll;
+      site_y_[i] += scroll;
       if (site_y_[i] >= 84.0f) {
         site_live_[i] = false;
         continue;
@@ -109,6 +129,10 @@ class ZaxxonGame : public Game {
         shot_live_ = false;
         site_live_[i] = false;
         int pts = site_tank_[i] ? 300 : 200;
+        if (site_tank_[i]) {
+          fuel_ += kFuelPerTank;
+          if (fuel_ > kFuelMax) fuel_ = kFuelMax;
+        }
         reward += static_cast<float>(pts);
         score_ += pts;
         continue;
@@ -120,6 +144,13 @@ class ZaxxonGame : public Game {
         reward += lose_life();
         return reward;
       }
+    }
+
+    // Fuel burns every frame; an empty tank crashes the ship.
+    fuel_ -= kFuelBurn;
+    if (fuel_ <= 0.0f) {
+      reward += lose_life();
+      return reward;
     }
     return reward;
   }
@@ -150,6 +181,10 @@ class ZaxxonGame : public Game {
     int bars = static_cast<int>(alt_);
     for (int b = 0; b < bars && b < 6; ++b)
       for (int k = 0; k < 2; ++k) f[(74 - b * 3) * kScreen + 81 + k] = 180;
+    // Fuel bar.
+    int fuel_px = static_cast<int>(fuel_);
+    if (fuel_px > 62) fuel_px = 62;
+    for (int k = 0; k < fuel_px; ++k) f[80 * kScreen + 2 + k] = 90;
     // Score ticks and lives pips.
     for (int s = 0; s < score_ / 100 && s < 40; ++s) f[1 * kScreen + 2 + s * 2] = 200;
     for (int l = 0; l < lives_ && l < kLives; ++l)
@@ -175,6 +210,7 @@ class ZaxxonGame : public Game {
   void respawn() {
     px_ = 40.0f;
     alt_ = 3.0f;
+    fuel_ = kFuelMax;
     shot_live_ = false;
     wall_live_ = false;
     wall_clock_ = 0;
@@ -192,6 +228,7 @@ class ZaxxonGame : public Game {
   }
 
   float px_ = 40.0f, alt_ = 3.0f;
+  float fuel_ = kFuelMax;
   bool shot_live_ = false;
   float shot_x_ = 0.0f, shot_y_ = 0.0f;
   bool wall_live_ = false;

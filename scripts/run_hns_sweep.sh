@@ -25,7 +25,10 @@ RUN_DIR="${2:-runs/hns10m}"
 # game waves landing after a sweep launch still get seed-1 coverage before
 # any seed-2 pass starts.
 SEEDS="1 ${SEEDS:-2}"
-GAMES=$(python -c "from cleanba_tpu.envs import NATIVE_ATARI_TASKS as T; print(' '.join(T))")
+# GAMES_OVERRIDE narrows the sweep to a named subset (calibration re-runs,
+# seed-2 passes, long-budget re-runs); default is the full native catalog.
+GAMES="${GAMES_OVERRIDE:-$(python -c "from cleanba_tpu.envs import NATIVE_ATARI_TASKS as T; print(' '.join(T))")}"
+TIMEOUT_MIN="${TIMEOUT_MIN:-25}"
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 # Generous: first-compile through the tunnel can exceed 3 min under host load.
@@ -53,7 +56,7 @@ for SEED in $SEEDS; do
     fi
     if python -m cleanba_tpu.benchmark \
         --env-ids "$GAME" --num-seeds 1 --start-seed "$SEED" \
-        --timeout-minutes 25 --retries 1 --no-auto-tag \
+        --timeout-minutes "$TIMEOUT_MIN" --retries 1 --no-auto-tag \
         --command "$CMD"; then
       touch "$MARK"
     else

@@ -9,7 +9,8 @@ cd "$(dirname "$0")/.."
 
 STEPS="${1:-8000000}"
 RUN_DIR="${2:-runs/procgen_train}"
-GAMES="${3:-Bigfish-v0 Starpilot-v0 Chaser-v0}"
+GAMES="${3:-Bigfish-v0 Starpilot-v0 Chaser-v0 Coinrun-v0 Miner-v0 Heist-v0 Jumper-v0 Ninja-v0}"
+TIMEOUT_MIN="${TIMEOUT_MIN:-50}"
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 export CLEANBA_PROGRESS_TIMEOUT="${CLEANBA_PROGRESS_TIMEOUT:-600}"
@@ -22,6 +23,7 @@ CMD="python -m cleanba_tpu.train_ppo_anakin \
   --local-num-envs 64 --num-steps 256 --num-minibatches 8 --update-epochs 3 \
   --learning-rate 5e-4 --gamma 0.999 --ent-coef 0.01 --bf16 \
   --total-timesteps $STEPS --log-frequency 5 --save-model \
+  --checkpoint-frequency 100 --resume \
   --run-dir $RUN_DIR --run-name pg_{env_id}_s{seed}"
 
 for GAME in $GAMES; do
@@ -36,7 +38,7 @@ for GAME in $GAMES; do
   fi
   if python -m cleanba_tpu.benchmark \
       --env-ids "$GAME" --num-seeds 1 --start-seed 1 \
-      --timeout-minutes 25 --retries 1 --no-auto-tag \
+      --timeout-minutes "$TIMEOUT_MIN" --retries 1 --no-auto-tag \
       --command "$CMD"; then
     touch "$MARK"
   else

@@ -288,9 +288,13 @@ def test_freeway_crossing_scores():
     state, _ = jenv.reset(jax.random.PRNGKey(0))
     step = jax.jit(jenv.step)
     total = 0.0
-    for _ in range(150):
+    # A crossing takes ~195 raw frames at the calibrated 0.35 px/frame
+    # chicken speed, plus collision knockbacks.
+    for _ in range(500):
         state, obs, r, *_ = step(state, jnp.int32(2))  # UP
         total += float(r)
+        if total >= 1.0:
+            break
     assert total >= 1.0, "no crossing scored under UP-spam"
 
 
@@ -958,35 +962,70 @@ def test_frostbite_row_visits_pay_ten_and_build_igloo():
 
 
 def test_kangaroo_fruit_and_rescue():
-    """Walking right collects the floor-0 fruit (+100); climbing all three
-    ladders reaches the joey for +2000 and the next level (kangaroo.cc)."""
-    from cleanba_tpu.envs.jax_games_wave9 import _kg_act, _kg_reset
+    """Walking right collects the floor-0 fruit (+100); patrol monkeys are
+    punched out of the way (+200 — contact is lethal, kangaroo.cc contact
+    rule) and climbing all three ladders reaches the joey for the ticking
+    rescue bonus (2000 max) and the next level."""
+    from cleanba_tpu.envs.jax_games_wave9 import _KG_LADDER_X, _kg_act, _kg_reset
 
     s = _kg_reset(None)
     zero = jnp.int32(0)
-    act = jax.jit(lambda s, dx, dy: _kg_act(s, dx, dy, zero, None))
+    act = jax.jit(_kg_act)
     total = 0.0
     got_fruit = False
+    punched = 0
+
+    def fire_flag():
+        # Punch any live monkey on this floor once it is inside punch reach
+        # (contact kills, so it must never get close enough to touch).
+        fl = int(s.floor)
+        if fl >= 3 or int(s.monkey_hold[fl]) > 0:
+            return zero
+        dist = abs(float(s.monkey_x[fl]) - float(s.x))
+        return jnp.int32(1 if dist < 9.0 else 0)
+
+    def step(dx, dy):
+        nonlocal s, total, got_fruit, punched
+        lives_before = int(s.lives)
+        s, r = act(s, dx, dy, fire_flag(), None)
+        r_ = float(r)
+        total += r_
+        if r_ in (100.0, 300.0):   # fruit, or fruit + punch on one frame
+            got_fruit = True
+        if r_ in (200.0, 300.0):
+            punched += 1
+        assert int(s.lives) == lives_before, "scripted run lost a life"
 
     def goto(ladder_x):
         """Walk to the ladder's center column (at_ladder needs |diff| < 4)."""
-        nonlocal s, total, got_fruit
         center = ladder_x + 3.0
-        for _ in range(120):
+        for _ in range(200):
             diff = center - (float(s.x) + 2.5)
             if abs(diff) < 1.0:
                 return
-            s, r = act(s, jnp.int32(1 if diff > 0 else -1), zero)
-            total += float(r)
-            if float(r) >= 100.0:
-                got_fruit = True
+            step(jnp.int32(1 if diff > 0 else -1), zero)
         raise AssertionError(f"never reached ladder at {ladder_x}")
+
+    def wait_for_clear_arrival():
+        """Hold position until the next floor's monkey is well away from the
+        ladder top (arrival contact would be lethal)."""
+        nxt = int(s.floor) + 1
+        if nxt >= 3:
+            return
+        lx = float(_KG_LADDER_X[int(s.floor)])
+        for _ in range(400):
+            mx = float(s.monkey_x[nxt])
+            away = (mx - lx) * float(s.monkey_dir[nxt]) > 0
+            if abs(mx - lx) > 30.0 or (abs(mx - lx) > 16.0 and away):
+                return
+            step(zero, zero)
+        raise AssertionError("next floor's monkey never cleared the ladder")
 
     def climb():
         nonlocal s, total
         start = int(s.floor)
         for _ in range(40):
-            s, r = act(s, zero, jnp.int32(-1))
+            s, r = act(s, zero, jnp.int32(-1), zero, None)
             total += float(r)
             if int(s.floor) != start and not bool(s.climbing):
                 return
@@ -995,16 +1034,19 @@ def test_kangaroo_fruit_and_rescue():
     # Floor 0: fruit at x=24 lies between the start (x=8) and ladder x=64.
     goto(64.0)
     assert got_fruit, "walking over the floor-0 fruit paid nothing"
+    wait_for_clear_arrival()
     climb()
     assert int(s.floor) == 1, f"expected floor 1, got {int(s.floor)}"
     goto(12.0)
+    wait_for_clear_arrival()
     climb()
     assert int(s.floor) == 2, f"expected floor 2, got {int(s.floor)}"
     goto(64.0)
     before = int(s.level)
     climb()
     assert int(s.level) == before + 1, "rescue did not advance the level"
-    assert total >= 2100.0, f"fruit + rescue should pay >= 2100, got {total}"
+    assert punched >= 1, "a patrol monkey should have needed punching"
+    assert total >= 2000.0, f"fruit + punches + rescue should pay >= 2000, got {total}"
 
 
 # ---------------------------------------------------------------------------
