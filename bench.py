@@ -198,17 +198,34 @@ def bench_sebulba(algo: str, num_updates: int = 12) -> float:
     return float(stats["sps"])
 
 
+def _median_of(fn, n: int = 3) -> tuple:
+    """Median-of-n with the raw samples: the Sebulba numbers swung ±20%
+    between rounds on this shared 2-vCPU host (r3 2444 -> r4 1967 at the same
+    config), so the metric of record now carries its own spread."""
+    samples = sorted(round(fn(), 1) for _ in range(n))
+    return samples[n // 2], samples
+
+
 def run_bench() -> dict:
     sps = bench_anakin_ppo()
     secondary = {}
     for name, fn in (
         ("anakin_impala_sps", bench_anakin_impala),
-        ("sebulba_ppo_sps", lambda: bench_sebulba("ppo")),
-        ("sebulba_impala_sps", lambda: bench_sebulba("impala")),
     ):
         try:
             secondary[name] = round(fn(), 1)
         except Exception as e:  # a secondary path must not sink the headline
+            print(f"[bench] {name} failed: {e}", file=sys.stderr, flush=True)
+            secondary[name] = None
+    for name, fn in (
+        ("sebulba_ppo_sps", lambda: bench_sebulba("ppo")),
+        ("sebulba_impala_sps", lambda: bench_sebulba("impala")),
+    ):
+        try:
+            med, samples = _median_of(fn, 3)
+            secondary[name] = med
+            secondary[name + "_samples"] = samples
+        except Exception as e:
             print(f"[bench] {name} failed: {e}", file=sys.stderr, flush=True)
             secondary[name] = None
     return {
