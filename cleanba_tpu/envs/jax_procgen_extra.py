@@ -195,6 +195,7 @@ class ChaserState:
     ex: jax.Array      # [3]
     ey: jax.Array      # [3]
     n_dots: jax.Array
+    dots0: jax.Array   # initial dot count — per-dot reward is 3/dots0
     tick: jax.Array
     elapsed: jax.Array
     key: jax.Array
@@ -240,6 +241,7 @@ class JaxChaserEnv:
             walls=walls, dots=dots, dim=dim, px=px, py=py,
             n_enemies=n_enemies, ex=ex, ey=ey,
             n_dots=jnp.sum(dots).astype(jnp.int32),
+            dots0=jnp.sum(dots).astype(jnp.int32),
             tick=jnp.int32(0), elapsed=jnp.int32(0), key=key,
         )
 
@@ -300,7 +302,9 @@ class JaxChaserEnv:
         ate = s.dots[py, px]
         dots = s.dots.at[py, px].set(False)
         n_dots = s.n_dots - ate.astype(jnp.int32)
-        raw_reward = ate.astype(jnp.float32)
+        # Official chaser economy (chaser.cc round-5 calibration): the dots
+        # collectively pay +3, the clear bonus +10 — perfect episode = 13.
+        raw_reward = ate.astype(jnp.float32) * (3.0 / s.dots0.astype(jnp.float32))
         swept = ate & (n_dots == 0)
         raw_reward = raw_reward + jnp.where(swept, 10.0, 0.0)
 

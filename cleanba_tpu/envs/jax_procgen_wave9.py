@@ -181,6 +181,7 @@ class MinerState:
     px: jax.Array
     py: jax.Array
     diamonds: jax.Array
+    diamonds0: jax.Array  # initial count — per-diamond reward is 3/diamonds0
     move_cd: jax.Array
     fall_cd: jax.Array
     crush: jax.Array
@@ -219,6 +220,7 @@ class JaxMinerEnv:
         diamonds = (grid == _MN_DIAMOND).sum().astype(jnp.int32)
         return MinerState(
             grid=grid, px=jnp.int32(1), py=jnp.int32(1), diamonds=diamonds,
+            diamonds0=jnp.maximum(diamonds, 1),
             move_cd=jnp.int32(0), fall_cd=jnp.int32(0), crush=jnp.int32(0),
             elapsed=jnp.int32(0), key=key,
         )
@@ -270,7 +272,9 @@ class JaxMinerEnv:
         target = s.grid[ny, nx]
         moves = wants & inside & (target != _MN_BOULDER)
         got = moves & (target == _MN_DIAMOND)
-        raw_reward = jnp.where(got, 1.0, 0.0)
+        # Official miner economy (miner.cc round-5 calibration): diamonds
+        # collectively pay +3, the exit +10 — perfect episode = 13.
+        raw_reward = jnp.where(got, 3.0 / s.diamonds0.astype(jnp.float32), 0.0)
         diamonds = s.diamonds - got.astype(jnp.int32)
         grid = jnp.where(moves, s.grid.at[ny, nx].set(_MN_EMPTY), s.grid)
         px = jnp.where(moves, nx, s.px)

@@ -1,7 +1,10 @@
 // Chaser — procgen-style maze dot-collection with pursuers (clone of
 // procgen's chaser task, part of the reference's procgen family:
 // legacy_scripts/cleanba_ppo_envpool_procgen.py drives the procgen suite
-// through plain `envpool.make`). Eat every orb (+1 each, +10 clear bonus)
+// through plain `envpool.make`). Eat every orb (+10 clear bonus; the orbs
+// collectively pay +3, i.e. 3/n each, so a perfect episode scores exactly
+// procgen's official R_max=13 for chaser — round-5 calibration, the flat
+// +1/orb economy scored 20.8 at 3.3M steps, 1.6x the real game's maximum)
 // while enemies chase; contact kills. A fresh maze is carved per episode
 // (same recursive backtracker as maze.cc); hard mode is bigger with more
 // chasers. The pure-JAX twin lives in cleanba_tpu/envs/jax_procgen_extra.py.
@@ -35,6 +38,7 @@ class ChaserEnv : public ProcgenLikeEnv {
         dots_[y][x] = !walls_[y][x] && !(x == px_ && y == py_);
         n_dots_ += dots_[y][x];
       }
+    dots0_ = n_dots_;
     n_enemies_ = hard_ ? kMaxEnemies : 1;
     const int corners[kMaxEnemies][2] = {
         {dim_ - 2, 1}, {1, 1}, {dim_ - 2, dim_ - 2}};
@@ -60,7 +64,7 @@ class ChaserEnv : public ProcgenLikeEnv {
     if (dots_[py_][px_]) {
       dots_[py_][px_] = false;
       --n_dots_;
-      out.raw_reward += 1.0f;
+      out.raw_reward += 3.0f / static_cast<float>(dots0_);
       if (n_dots_ == 0) {
         out.raw_reward += 10.0f;
         out.terminated = true;
@@ -180,6 +184,7 @@ class ChaserEnv : public ProcgenLikeEnv {
   bool walls_[kMaxDim][kMaxDim] = {};
   bool dots_[kMaxDim][kMaxDim] = {};
   int n_dots_ = 0;
+  int dots0_ = 1;
   int tick_ = 0;
 };
 

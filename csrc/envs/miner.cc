@@ -1,9 +1,11 @@
 // Miner — procgen-style boulder-dash digger (clone of procgen's miner task,
 // part of the reference's procgen family: legacy_scripts/
 // cleanba_ppo_envpool_procgen.py uses plain `envpool.make(env_id)` over the
-// procgen suite). Dig through dirt, collect every diamond (+1 each), then
-// reach the exit for +10. Boulders fall when unsupported and crush the
-// digger. Hard mode packs in more boulders.
+// procgen suite). Dig through dirt, collect every diamond (the diamonds
+// collectively pay +3, i.e. 3/n each — round-5 calibration so a perfect
+// episode scores exactly procgen's official R_max=13), then reach the exit
+// for +10. Boulders fall when unsupported and crush the digger. Hard mode
+// packs in more boulders.
 // The pure-JAX twin lives in cleanba_tpu/envs/jax_procgen_wave9.py.
 
 #include <cstring>
@@ -34,6 +36,7 @@ class MinerEnv : public ProcgenLikeEnv {
         grid_[y][x] = static_cast<uint8_t>(c);
         if (c == kDiamond) ++diamonds_;
       }
+    diamonds0_ = diamonds_ > 0 ? diamonds_ : 1;
     // Start corner and exit corner are clear; no boulder directly above the
     // start (instant crush would be unwinnable).
     px_ = 1;
@@ -56,7 +59,7 @@ class MinerEnv : public ProcgenLikeEnv {
       if (nx >= 0 && nx < kGrid && ny >= 0 && ny < kGrid &&
           grid_[ny][nx] != kBoulder) {
         if (grid_[ny][nx] == kDiamond) {
-          out.raw_reward += 1.0f;
+          out.raw_reward += 3.0f / static_cast<float>(diamonds0_);
           --diamonds_;
         }
         grid_[ny][nx] = kEmpty;

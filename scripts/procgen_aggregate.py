@@ -39,6 +39,29 @@ PPO_25M_EASY = {
     "Miner-v0": 9.0,
     "Heist-v0": 7.0,
     "Jumper-v0": 8.3,
+    "Ninja-v0": 6.0,
+}
+
+# Official easy-mode (R_min, R_max) normalization constants from Cobbe et
+# al. 2020 (the paper's normalized-return protocol): norm = (R - R_min) /
+# (R_max - R_min), so 0 = random and 1 = the theoretical max.
+NORM_EASY = {
+    "Coinrun-v0": (5.0, 10.0),
+    "Starpilot-v0": (2.5, 64.0),
+    "Caveflyer-v0": (3.5, 12.0),
+    "Dodgeball-v0": (1.5, 19.0),
+    "Fruitbot-v0": (-1.5, 32.4),
+    "Chaser-v0": (0.5, 13.0),
+    "Miner-v0": (1.5, 13.0),
+    "Jumper-v0": (3.0, 10.0),
+    "Leaper-v0": (3.0, 10.0),
+    "Maze-v0": (5.0, 10.0),
+    "Bigfish-v0": (1.0, 40.0),
+    "Heist-v0": (3.5, 10.0),
+    "Climber-v0": (2.0, 12.6),
+    "Plunder-v0": (4.5, 30.0),
+    "Ninja-v0": (3.5, 10.0),
+    "Bossfight-v0": (0.5, 13.0),
 }
 
 
@@ -63,6 +86,8 @@ def main():
         score = float(np.mean(values[steps >= cutoff]))
         rows.append((env_id, seed, score, int(steps[-1])))
 
+    max_steps = max((last for *_x, last in rows), default=0)
+    normed = []
     with open(args.out, "w") as f:
         f.write("# Procgen learning evidence\n\n")
         f.write(
@@ -74,14 +99,33 @@ def main():
             "read from the paper's figures — approximate); our runs are\n"
             "shorter, so treat the comparison as a trajectory check, not a\n"
             "final-score match. Score = mean return over the last 10% of\n"
-            "training.\n\n"
+            "training. The `norm` column is the paper's normalized-return\n"
+            "protocol ((R - R_min)/(R_max - R_min), easy-mode constants):\n"
+            "0 = random play, 1 = theoretical max. Rows marked `*` were\n"
+            "budget-capped below the full step target — treat their scores\n"
+            "as mid-curve.\n\n"
         )
-        f.write("| game | seed | steps | final return | PPO@25M easy (approx) |\n")
-        f.write("|---|---|---|---|---|\n")
+        f.write("| game | seed | steps | final return | norm | PPO@25M easy (approx) |\n")
+        f.write("|---|---|---|---|---|---|\n")
         for env_id, seed, score, last in rows:
             base = PPO_25M_EASY.get(env_id)
             base_s = f"{base:.1f}" if base is not None else "—"
-            f.write(f"| {env_id} | {seed} | {last:,} | {score:.2f} | {base_s} |\n")
+            capped = "*" if last < 0.9 * max_steps else ""
+            if env_id in NORM_EASY:
+                lo, hi = NORM_EASY[env_id]
+                nval = (score - lo) / (hi - lo)
+                normed.append(nval)
+                norm_s = f"{nval:.2f}"
+            else:
+                norm_s = "—"
+            f.write(f"| {env_id}{capped} | {seed} | {last:,} | {score:.2f} "
+                    f"| {norm_s} | {base_s} |\n")
+        if normed:
+            f.write(
+                f"\n**Mean normalized return over {len(normed)} trained games: "
+                f"{float(np.mean(normed)):.3f}** (Cobbe et al. report ~0.35-0.5 "
+                "for PPO@25M easy across the 16-game suite).\n"
+            )
         f.write(
             "\nThe post-training eval harness (`evaluate.py`, the procgen\n"
             "RGB path of the reference's cleanba_ppo_envpool_procgen_eval)\n"

@@ -297,8 +297,8 @@ def test_leaper_crossing_pays_ten_and_deaths_end_episode():
 
 @needs_native
 def test_chaser_dots_score_and_enemies_catch():
-    """Dots pay +1 each under random play; enemy contact terminates without
-    the +10 clear bonus."""
+    """Dots pay 3/n each under random play (official R_max=13 economy);
+    enemy contact terminates without the +10 clear bonus."""
     env = make_env("ChaserHard-v0", seed=7, num_envs=8)()
     env.reset()
     rng = np.random.default_rng(1)

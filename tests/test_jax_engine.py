@@ -1378,15 +1378,15 @@ def test_wave9_procgen_contract(task):
 
 
 def test_miner_diamonds_then_exit():
-    """Digging to each diamond pays +1 and the exit opens only after the
-    last one (miner.cc / JaxMinerEnv)."""
+    """Digging to each diamond pays 3/n (official R_max=13 economy) and the
+    exit opens only after the last one (miner.cc / JaxMinerEnv)."""
     from cleanba_tpu.envs.jax_procgen_wave9 import JaxMinerEnv
 
     env = JaxMinerEnv("Miner-v0")
     s, _ = env.reset(jax.random.PRNGKey(3))
     step = jax.jit(env.step)
     # Greedy scripted digger: walk toward the nearest diamond, else the exit.
-    got, t = 0.0, 0
+    got, n_collect, t = 0.0, 0, 0
     for t in range(3000):
         grid = np.asarray(s.grid)
         px, py = int(s.px), int(s.py)
@@ -1401,9 +1401,13 @@ def test_miner_diamonds_then_exit():
             a = 3 if ty > py else 5
         s, _, r, rr, term, trunc, first = step(s, jnp.int32(int(a)))
         got += float(rr)
+        if float(rr) > 0:
+            n_collect += 1
         if bool(term) or bool(trunc):
             break
-    assert got >= 2.0, f"scripted digger collected almost nothing: {got}"
+    # All diamonds together pay 3.0 (3/n each); the exit pays +10 on top.
+    assert n_collect >= 3, f"scripted digger collected almost nothing: {n_collect}"
+    assert got > 0.0
 
 
 def test_heist_doors_block_until_key():
