@@ -51,6 +51,10 @@ class AgentBundle:
     ppo_inference_stacked: Callable
     # jitted: (prev_stack, frame, first) -> stack (bootstrap-row builder)
     stack_frames: Callable
+    # jitted: (params, frame, stack_all, first, prev_a, prev_r, env_ids, key)
+    #   -> (stack_all, obs, action, logprob, value, key); sub-batch stacking
+    #   for the pipelined PPO rollout
+    ppo_inference_stacked_sub: Callable
     uses_prev: bool
 
 
@@ -133,6 +137,24 @@ def build_agent(cfg, action_dim: int, sample_obs, key: jax.Array, compute_dtype=
     def stack_frames(prev_stack, new_frame, first):
         return _stack_update(prev_stack, jnp.asarray(new_frame), jnp.asarray(first))
 
+    def ppo_inference_stacked_sub(p: AgentParams, new_frame, stack_all, first,
+                                  prev_a, prev_r, env_ids, key):
+        """Sub-batch variant of ppo_inference_stacked for the pipelined PPO
+        rollout: the full-pool frame stack lives on device as `stack_all`
+        [n_envs, H, W, S]; each call gathers the sub-batch's rows by env id,
+        shifts in the new frames, scatters the stacks back and runs inference
+        on the sub-batch only."""
+        env_ids = jnp.asarray(env_ids)
+        obs = _stack_update(stack_all[env_ids], jnp.asarray(new_frame),
+                            jnp.asarray(first))
+        stack_all = stack_all.at[env_ids].set(obs)
+        hidden = apply_trunk(p.network_params, obs, prev_a, prev_r)
+        logits = actor.apply(p.actor_params, hidden)
+        action, key = sample_gumbel(key, logits)
+        logprob = jax.nn.log_softmax(logits)[jnp.arange(action.shape[0]), action]
+        value = critic.apply(p.critic_params, hidden).squeeze(-1)
+        return stack_all, obs, action, logprob, value, key
+
     def logits_and_value(p: AgentParams, obs, prev_a=None, prev_r=None) -> Tuple[Any, Any]:
         if prev_a is None:
             prev_a = jnp.zeros(obs.shape[:1], jnp.int32)
@@ -153,5 +175,6 @@ def build_agent(cfg, action_dim: int, sample_obs, key: jax.Array, compute_dtype=
         logits_and_value=logits_and_value,
         ppo_inference_stacked=jax.jit(ppo_inference_stacked),
         stack_frames=jax.jit(stack_frames),
+        ppo_inference_stacked_sub=jax.jit(ppo_inference_stacked_sub),
         uses_prev=uses_prev,
     )

@@ -34,7 +34,8 @@ import numpy as np
 from cleanba_tpu.parallel import DeviceTopology, ship_to_learners
 from cleanba_tpu.runtime.storage import ImpalaStorage, PPOStorage
 
-__all__ = ["ppo_rollout_thread", "impala_rollout_thread", "EpisodeStats"]
+__all__ = ["ppo_rollout_thread", "ppo_rollout_thread_pipelined",
+           "impala_rollout_thread", "EpisodeStats"]
 
 
 def _put_or_stop(q: queue.Queue, item, stop_event) -> None:
@@ -266,6 +267,211 @@ def ppo_rollout_thread(
             if not (cfg.test_actor_learner_throughput and update > 1):
                 _put_or_stop(rollout_queue, payload, stop_event)
             rollout_queue_put_time.append(time.time() - t0)
+
+            _write_rollout_scalars(
+                writer, cfg, stats, global_step, update, start_time, update_time_start,
+                seg, params_queue_get_time, rollout_time, rollout_queue_put_time,
+                device_thread_id, initial_global_step,
+            )
+
+
+def ppo_rollout_thread_pipelined(
+    key: jax.Array,
+    cfg,
+    make_envs: Callable,
+    agent,                    # AgentBundle (runtime/agent.py)
+    rollout_queue: queue.Queue,
+    param_source,
+    writer,
+    topo: DeviceTopology,
+    actor_device: jax.Device,
+    device_thread_id: int,
+    stop_event=None,
+    initial_global_step: int = 0,
+) -> None:
+    """Sync-PPO rollout with sub-batch dispatch pipelining (VERDICT r4 #9).
+
+    Same trainer contract as ppo_rollout_thread (one PPOStorage of exactly
+    [T, B] per update, bootstrap obs/done appended), but the env pool steps
+    as `async_batch_size`-sized sub-batches through the engine's async API
+    with up to `inference_pipeline_depth` inference round trips in flight —
+    the PPO analogue of the round-4 IMPALA dispatch pipeline (the
+    reference's actor_threads/concat recipe without shrinking MXU batches
+    across threads). Selected by trainer.train() when async_batch_size <
+    local_num_envs on a PPO config.
+
+    Row layout: each recv row holds (obs_t, action_t, logprob_t, value_t)
+    plus the reward/termination that ARRIVED with obs_t (the consequence of
+    action_{t-1}), so the sync-PPO storage fields are reassembled from row
+    pairs: reward[t] = row[t+1].reward, done[t] = row[t].done, etc. T+1 rows
+    are consumed per env per update; the last row carries over as the next
+    update's first row (its action was already sent — one sub-step of
+    off-policy lag, the same lag the reference's Sebulba actor has by
+    design).
+    """
+    envs = make_envs()
+    n_envs = cfg.local_num_envs
+    device_stack = bool(getattr(cfg, "device_stack", False)) and len(envs.spec.obs_shape) == 3
+    stats = EpisodeStats(n_envs)
+    global_step = initial_global_step
+    start_time = time.time()
+    actor_policy_version = 0
+
+    params_queue_get_time: deque = deque(maxlen=10)
+    rollout_time: deque = deque(maxlen=10)
+    rollout_queue_put_time: deque = deque(maxlen=10)
+
+    envs.async_reset()
+    batch_store: dict = {}               # key -> per-recv record
+    rows: List[List[tuple]] = [[] for _ in range(n_envs)]  # env -> [(key, pos)]
+    next_batch_key = 0
+    prev_action_all = np.zeros(n_envs, np.int32)
+    params = None
+
+    n_sub = max(1, n_envs // max(1, cfg.async_batch_size))
+    pipeline_depth = max(1, min(cfg.inference_pipeline_depth, n_sub))
+    inflight: deque = deque()            # [(action_dev, env_ids), ...]
+
+    def _flush_oldest(seg):
+        action_dev, flush_ids = inflight.popleft()
+        t0 = time.time()
+        cpu_action = np.asarray(action_dev)
+        seg["d2h_time"] += time.time() - t0
+        t0 = time.time()
+        envs.send(cpu_action, flush_ids)
+        seg["env_send_time"] += time.time() - t0
+        prev_action_all[flush_ids] = cpu_action
+
+    with jax.default_device(actor_device):
+        key = jax.device_put(key, actor_device)
+        stack_all = None
+        if device_stack:
+            # Zeros are fine: each env's first recv has first=1, which tiles
+            # the fresh frame over the stack regardless of previous content.
+            stack_all = jnp.zeros((n_envs, *envs.spec.obs_shape[:2], 4), jnp.uint8)
+        for update in range(1, cfg.num_updates + 2):
+            if stop_event is not None and stop_event.is_set():
+                break
+            update_time_start = time.time()
+            seg = {"env_recv_time": 0.0, "inference_time": 0.0, "d2h_time": 0.0,
+                   "env_send_time": 0.0, "storage_time": 0.0, "data_transfer_time": 0.0}
+
+            if cfg.test_actor_learner_throughput and update > 1:
+                fetched = None
+            else:
+                fetched = _get_params(param_source, cfg, update, params_queue_get_time)
+            if fetched is not None:
+                params = fetched
+                actor_policy_version += 1
+
+            rollout_t0 = time.time()
+            T1 = cfg.num_steps + 1
+            while min(len(r) for r in rows) < T1:
+                t0 = time.time()
+                obs_b, rew_b, term_b, trunc_b, info = envs.recv()
+                seg["env_recv_time"] += time.time() - t0
+                env_ids = info["env_ids"]
+                global_step += (
+                    len(env_ids) * cfg.num_actor_threads * len(cfg.actor_device_ids) * cfg.world_size
+                )
+
+                first_b = (info["elapsed_step"] == 0).astype(np.float32)
+                prev_a_b = (prev_action_all[env_ids] * (1.0 - first_b)).astype(np.int32)
+                prev_r_b = (rew_b * (1.0 - first_b)).astype(np.float32)
+                t0 = time.time()
+                if device_stack:
+                    stack_all, obs_dev, action, logprob, value, key = \
+                        agent.ppo_inference_stacked_sub(
+                            params, obs_b, stack_all, first_b, prev_a_b,
+                            prev_r_b, env_ids.astype(np.int32), key,
+                        )
+                else:
+                    obs_dev, action, logprob, value, key = agent.ppo_inference(
+                        params, obs_b, prev_a_b, prev_r_b, key
+                    )
+                try:
+                    action.copy_to_host_async()
+                except AttributeError:
+                    pass
+                seg["inference_time"] += time.time() - t0
+
+                rew_f = rew_b.astype(np.float32)
+                inflight.append((action, env_ids))
+                if len(inflight) >= pipeline_depth:
+                    _flush_oldest(seg)
+
+                t0 = time.time()
+                done_b = (np.asarray(term_b) | np.asarray(trunc_b)).astype(np.float32)
+                batch_store[next_batch_key] = dict(
+                    obs=obs_dev, action=action, logprob=logprob, value=value,
+                    done=done_b, reward=rew_f,
+                    trunc=np.asarray(trunc_b, np.float32),
+                    term=np.asarray(term_b, np.float32),
+                    first=first_b, prev_a=prev_a_b, prev_r=prev_r_b,
+                )
+                for pos, env_id in enumerate(env_ids):
+                    rows[env_id].append((next_batch_key, pos))
+                next_batch_key += 1
+                stats.update(env_ids, info["reward"], term_b, trunc_b)
+                seg["storage_time"] += time.time() - t0
+            while inflight:
+                _flush_oldest(seg)
+            rollout_time.append(time.time() - rollout_t0)
+
+            t0 = time.time()
+            keys_used = sorted({rows[e][t][0] for e in range(n_envs) for t in range(T1)})
+            slot = {k: i for i, k in enumerate(keys_used)}
+            k_idx = np.empty((T1, n_envs), np.int32)
+            p_idx = np.empty((T1, n_envs), np.int32)
+            for e in range(n_envs):
+                for t in range(T1):
+                    bkey, pos = rows[e][t]
+                    k_idx[t, e] = slot[bkey]
+                    p_idx[t, e] = pos
+
+            def dev_gather(field):
+                stacked = jnp.stack([batch_store[k][field] for k in keys_used])
+                return stacked[k_idx, p_idx]
+
+            def host_gather(field):
+                stacked = np.stack([batch_store[k][field] for k in keys_used])
+                return stacked[k_idx, p_idx]
+
+            T = cfg.num_steps
+            obs_all = dev_gather("obs")           # [T+1, B, ...]
+            done_all = host_gather("done")
+            storage = PPOStorage(
+                obs=obs_all[:T],
+                dones=done_all[:T],
+                actions=dev_gather("action")[:T],
+                logprobs=dev_gather("logprob")[:T],
+                values=dev_gather("value")[:T],
+                env_ids=np.tile(np.arange(n_envs, dtype=np.int32), (T, 1)),
+                # Consequences of action_t arrive with row t+1.
+                rewards=host_gather("reward")[1:],
+                truncations=host_gather("trunc")[1:],
+                terminations=host_gather("term")[1:],
+                firststeps=host_gather("first")[1:],
+                prev_actions=host_gather("prev_a")[:T],
+                prev_rewards=host_gather("prev_r")[:T],
+            )
+            sharded_storage = ship_to_learners(storage, topo, env_axis=1)
+            sharded_boot = ship_to_learners(
+                (obs_all[T], done_all[T]), topo, env_axis=0
+            )
+            seg["data_transfer_time"] += time.time() - t0
+
+            payload = (global_step, actor_policy_version, update, sharded_storage,
+                       *sharded_boot, float(np.mean(params_queue_get_time)), device_thread_id)
+            t0 = time.time()
+            if not (cfg.test_actor_learner_throughput and update > 1):
+                _put_or_stop(rollout_queue, payload, stop_event)
+            rollout_queue_put_time.append(time.time() - t0)
+
+            # Carry the bootstrap row into the next update; prune dead batches.
+            rows = [r[T:] for r in rows]
+            live = {bkey for r in rows for bkey, _ in r}
+            batch_store = {k: v for k, v in batch_store.items() if k in live}
 
             _write_rollout_scalars(
                 writer, cfg, stats, global_step, update, start_time, update_time_start,

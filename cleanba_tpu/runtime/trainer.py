@@ -38,7 +38,11 @@ from cleanba_tpu.runtime.learner import (
     make_ppo_update,
 )
 from cleanba_tpu.runtime.param_source import ParamStore, QueueParamSource, StoreParamSource
-from cleanba_tpu.runtime.rollout import impala_rollout_thread, ppo_rollout_thread
+from cleanba_tpu.runtime.rollout import (
+    impala_rollout_thread,
+    ppo_rollout_thread,
+    ppo_rollout_thread_pipelined,
+)
 from cleanba_tpu.utils.checkpoint import (
     latest_checkpoint,
     restore_checkpoint,
@@ -181,7 +185,13 @@ def train(cfg) -> dict:
 
     if algo == "ppo":
         update_fn = make_ppo_update(cfg, topo, agent.logits_and_value)
-        rollout_target = ppo_rollout_thread
+        # Sub-batch mode routes through the pipelined rollout (VERDICT r4 #9:
+        # the IMPALA dispatch pipeline's PPO analogue) — same [T, B] storage
+        # contract, async engine stepping underneath.
+        if cfg.async_batch_size < cfg.local_num_envs:
+            rollout_target = ppo_rollout_thread_pipelined
+        else:
+            rollout_target = ppo_rollout_thread
     else:
         update_fn = make_impala_update(cfg, topo, agent.logits_and_value)
         rollout_target = impala_rollout_thread

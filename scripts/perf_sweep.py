@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "",
-                num_actor_threads: int = 2, local_num_envs: int = 64) -> dict:
+                num_actor_threads: int = 2, local_num_envs: int = 64,
+                async_batch_size: int = 0, pipeline_depth: int = 1) -> dict:
     from cleanba_tpu.config import PPOConfig
     from cleanba_tpu.runtime.trainer import train
 
@@ -39,6 +40,8 @@ def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "",
         bf16=True,
         concurrency=concurrency,
         device_stack=device_stack,
+        async_batch_size=async_batch_size,
+        inference_pipeline_depth=pipeline_depth,
         log_frequency=10**9,
         run_dir="/tmp/perf_runs",
         env_backend="native",
@@ -52,6 +55,8 @@ def sebulba_sps(concurrency: bool, device_stack: bool, trace_dir: str = "",
         device_stack=device_stack,
         num_actor_threads=num_actor_threads,
         local_num_envs=local_num_envs,
+        async_batch_size=async_batch_size,
+        pipeline_depth=pipeline_depth,
         sps=stats["sps"],
     )
 
@@ -142,6 +147,9 @@ def main():
     p.add_argument("--skip-sebulba", action="store_true")
     p.add_argument("--pipeline", action="store_true",
                    help="sweep inference_pipeline_depth x async_batch_size")
+    p.add_argument("--ppo-pipeline", action="store_true",
+                   help="sweep the pipelined sync-PPO rollout (VERDICT r4 #9) "
+                        "against the tuned 1x128 sync baseline")
     p.add_argument("--skip-anakin", action="store_true")
     p.add_argument("--skip-async", action="store_true")
     args = p.parse_args()
@@ -166,6 +174,17 @@ def main():
         for threads, envs in [(4, 32), (8, 16)]:
             r = sebulba_sps(True, True, num_actor_threads=threads,
                             local_num_envs=envs)
+            print(json.dumps(r), file=sys.stderr, flush=True)
+            results.append(r)
+    if args.ppo_pipeline:
+        # VERDICT r4 #9: sub-pool dispatch pipelining for the sync PPO path —
+        # same [T, B] storage, async engine stepping with D inference round
+        # trips in flight. Row 1 re-measures the tuned sync baseline in the
+        # same session for a fair comparison.
+        for abs_, depth in [(0, 1), (64, 2), (32, 2), (32, 4)]:
+            r = sebulba_sps(True, True, num_actor_threads=1,
+                            local_num_envs=128, async_batch_size=abs_,
+                            pipeline_depth=depth)
             print(json.dumps(r), file=sys.stderr, flush=True)
             results.append(r)
     if not args.skip_anakin:

@@ -78,6 +78,12 @@ CLEANBA_FRAMESKIP_UNROLL=0 TIMEOUT_MIN=45 GAMES_OVERRIDE="$LONG_GAMES" SEEDS=1 \
 stage "sebulba curve chunk" 1200 2700 \
   bash scripts/run_sebulba_curve.sh 50000000 runs/sebulba50
 
+# 4b. Pipelined sync-PPO sweep (verdict r4 #9): 4 configs incl. the sync
+#     baseline re-measured in-session.
+stage "ppo pipeline sweep" 900 1500 \
+  python scripts/perf_sweep.py --ppo-pipeline --skip-async --skip-sebulba \
+  --skip-anakin --out static/perf_sweep_r5.jsonl
+
 # 5. Procgen: finish Chaser at full budget with a saved model, then broaden.
 #    One-time fixups: Starpilot finished at budget in r4 but never got its
 #    marker; Chaser's r4 run was timeout-capped with no checkpoint, so it

@@ -195,3 +195,106 @@ def test_pipelined_dispatch_keeps_columns_aligned(batch_size, depth):
         if prev_last_step is not None:
             assert (step_col[0] == prev_last_step).all(), "bootstrap row not carried"
         prev_last_step = step_col[-1]
+
+
+# ---------------------------------------------------------------------------
+# Pipelined PPO rollout (VERDICT r4 #9: the IMPALA dispatch pipeline's PPO
+# analogue) — same strict async-API fakes, plus the PPO-specific row shift:
+# storage.rewards[t] must be the consequence of action_t (the reward that
+# arrived with obs_{t+1}), and the payload must carry the bootstrap obs/done.
+# ---------------------------------------------------------------------------
+
+
+class _StrictAsyncEnvStepReward(_StrictAsyncEnv):
+    """Reward arriving with an obs at per-env step s equals s — makes the
+    PPO reward shift (rewards[t] = row[t+1].reward) checkable."""
+
+    def recv(self):
+        obs, _, term, trunc, info = super().recv()
+        reward = info["elapsed_step"].astype(np.float32)
+        info["reward"] = reward
+        return obs, reward, term, trunc, info
+
+
+@pytest.mark.parametrize("batch_size,depth", [(2, 2), (4, 2), (2, 16), (8, 4)])
+def test_ppo_pipelined_rollout_alignment_and_reward_shift(batch_size, depth):
+    from cleanba_tpu.config import PPOConfig
+    from cleanba_tpu.runtime.rollout import ppo_rollout_thread_pipelined
+
+    n_envs, T = 8, 6
+    cfg = PPOConfig(
+        env_id="CartPole-v1", network="mlp", hiddens=[16],
+        local_num_envs=n_envs, async_batch_size=batch_size, num_steps=T,
+        inference_pipeline_depth=depth,
+        num_actor_threads=1, num_minibatches=2, update_epochs=1,
+        total_timesteps=n_envs * T * 3,
+        concurrency=True, log_frequency=10 ** 9, env_backend="python",
+    )
+    cfg.resolve()
+    import jax
+
+    topo = build_topology(cfg.actor_device_ids, cfg.learner_device_ids)
+    agent = build_agent(cfg, 2, np.zeros((1, 4), np.float32), jax.random.PRNGKey(0))
+    out_q = _CaptureQueue()
+    ppo_rollout_thread_pipelined(
+        jax.random.PRNGKey(1), cfg,
+        lambda: _StrictAsyncEnvStepReward(n_envs, batch_size),
+        agent, out_q, _StaticParams(agent.init_params),
+        __import__("cleanba_tpu.utils.metrics", fromlist=["DummyWriter"]).DummyWriter(),
+        topo, jax.devices()[0], 0,
+    )
+    assert len(out_q.payloads) == cfg.num_updates + 1
+    prev_boot_step = None
+    for payload in out_q.payloads:
+        storage, boot_obs, boot_done = payload[3], payload[4], payload[5]
+        obs = np.asarray(storage.obs)          # [T, B, 4]
+        assert obs.shape[:2] == (T, n_envs)
+        env_col, step_col = obs[:, :, 0], obs[:, :, 1]
+        assert (env_col == np.arange(n_envs)[None, :]).all(), "env columns mixed"
+        assert (np.diff(step_col, axis=0) == 1).all(), "time axis not consecutive"
+        # PPO reward shift: rewards[t] arrived with obs_{t+1}.
+        rew = np.asarray(storage.rewards)
+        assert np.allclose(rew, step_col + 1.0), "rewards not shifted to row t+1"
+        # Bootstrap obs is each env's T+1-th row, in env order.
+        bobs = np.asarray(boot_obs)
+        assert (bobs[:, 0] == np.arange(n_envs)).all()
+        assert (bobs[:, 1] == step_col[-1] + 1.0).all(), "bootstrap row wrong step"
+        assert np.asarray(boot_done).shape == (n_envs,)
+        # Carry: this update's first row is last update's bootstrap row.
+        if prev_boot_step is not None:
+            assert (step_col[0] == prev_boot_step).all(), "bootstrap row not carried"
+        prev_boot_step = bobs[:, 1]
+
+
+def test_ppo_stacked_sub_inference_matches_full_pool():
+    """ppo_inference_stacked_sub over two halves must evolve the same frame
+    stacks as ppo_inference_stacked over the full pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from cleanba_tpu.config import PPOConfig
+
+    cfg = PPOConfig(network="nature_cnn", local_num_envs=4)
+    rng = np.random.default_rng(0)
+    agent = build_agent(cfg, 4, np.zeros((1, 84, 84, 4), np.uint8), jax.random.PRNGKey(0))
+
+    n = 4
+    stack_full = jnp.asarray(rng.integers(0, 255, (n, 84, 84, 4)), jnp.uint8)
+    stack_all = stack_full
+    frames = rng.integers(0, 255, (n, 84, 84, 1)).astype(np.uint8)
+    first = np.array([1.0, 0.0, 0.0, 1.0], np.float32)
+    pa = np.zeros(n, np.int32)
+    pr = np.zeros(n, np.float32)
+    key = jax.random.PRNGKey(1)
+
+    # Full pool reference.
+    obs_ref, *_ = agent.ppo_inference_stacked(
+        agent.init_params, frames, stack_full, first, pa, pr, key)
+
+    # Two sub-batches through the sub variant (ids scrambled).
+    for ids in (np.array([2, 0], np.int32), np.array([3, 1], np.int32)):
+        stack_all, obs_sub, *_ = agent.ppo_inference_stacked_sub(
+            agent.init_params, frames[ids], stack_all, first[ids],
+            pa[ids], pr[ids], ids, key)
+        assert np.array_equal(np.asarray(obs_sub), np.asarray(obs_ref)[ids])
+    assert np.array_equal(np.asarray(stack_all), np.asarray(obs_ref))
