@@ -814,8 +814,10 @@ def _vp_act(s: VideoPinballCore, dx, dy, fire, key):
     bvx = jnp.where(bumped, ddx[bi] / d * _VP_KICK, bvx)
     bvy = jnp.where(bumped, ddy[bi] / d * _VP_KICK, bvy)
     bump_cd = jnp.where(bumped, _VP_BCD, bump_cd)
-    reward = jnp.where(bumped, 100.0, 0.0)
-    score = s.score + jnp.where(bumped, 100, 0)
+    # 750/bumper puts clone random play on the ALE random anchor
+    # (video_pinball.cc round-5 calibration).
+    reward = jnp.where(bumped, 750.0, 0.0)
+    score = s.score + jnp.where(bumped, 750, 0)
 
     lf = (dx < 0) | (fire > 0)
     rf = (dx > 0) | (fire > 0)

@@ -125,7 +125,7 @@ class MinerEnv : public ProcgenLikeEnv {
   bool hard_;
   uint8_t grid_[kGrid][kGrid] = {};
   int px_ = 1, py_ = 1, ex_ = kGrid - 2, ey_ = kGrid - 2;
-  int diamonds_ = 0, move_cd_ = 0, fall_cd_ = 0, crush_ = 0;
+  int diamonds_ = 0, diamonds0_ = 1, move_cd_ = 0, fall_cd_ = 0, crush_ = 0;
 };
 
 }  // namespace

@@ -80,8 +80,12 @@ class VideoPinballGame : public Game {
         bvx_ = dx / d * kBumpKick;
         bvy_ = dy / d * kBumpKick;
         bump_cd_ = kBumpCd;
-        reward += 100.0f;
-        score_ += 100;
+        // Round-5 calibration: the real table's scoring rate is ~7.4x this
+        // clone's (measured clone random play 2,187 vs the ALE random anchor
+        // 16,256.9, whose band vs human is only 1,411 points) — 750/bumper
+        // puts random play on the anchor so HNS is ALE-comparable.
+        reward += 750.0f;
+        score_ += 750;
       }
     }
 

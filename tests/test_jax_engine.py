@@ -1757,8 +1757,8 @@ def test_montezuma_key_then_door():
 
 
 def test_video_pinball_launch_and_bumpers():
-    """FIRE launches the ball from the lane; bumpers pay +100 as the ball
-    rattles the table (video_pinball.cc)."""
+    """FIRE launches the ball from the lane; bumpers pay +750 as the ball
+    rattles the table (video_pinball.cc, anchor-calibrated economy)."""
     from cleanba_tpu.envs.jax_games_wave13 import _vp_act, _vp_reset
 
     act = jax.jit(_vp_act)
