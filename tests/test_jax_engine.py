@@ -1124,6 +1124,116 @@ def test_chopper_command_kills_and_truck_bonus():
     assert total >= 100.0, f"kills must pay, got {total}"
 
 
+def test_kangaroo_rescue_bonus_ticks_down_and_monkeys_kill():
+    """The rescue bonus decays with level time (2000 - 100 per 450 raw
+    frames, floor 200) and monkey contact costs a life (kangaroo.cc round-5
+    calibration)."""
+    from cleanba_tpu.envs.jax_games_wave9 import (
+        _KG_LADDER_X, _KG_STAND_Y, _kg_act, _kg_reset,
+    )
+
+    act = jax.jit(_kg_act)
+    zero = jnp.int32(0)
+
+    # Forced rescue with the level clock at 2700 frames: bonus = 2000 - 600.
+    s = _kg_reset(None)
+    s = s.replace(
+        floor=jnp.int32(2), climbing=jnp.bool_(True),
+        x=jnp.float32(float(_KG_LADDER_X[2]) + 0.5),
+        y=jnp.float32(float(_KG_STAND_Y[3]) + 1.0),
+        timer=jnp.int32(2700),
+    )
+    s2, r = act(s, zero, jnp.int32(-1), zero, None)
+    assert int(s2.level) == 1, "forced climb did not rescue"
+    assert float(r) == 1400.0, f"ticked bonus should be 1400, got {float(r)}"
+    assert int(s2.timer) == 0, "rescue did not reset the level clock"
+
+    # Deep decay floors at 200.
+    s3 = s.replace(timer=jnp.int32(5999))
+    _, r3 = act(s3, zero, jnp.int32(-1), zero, None)
+    assert float(r3) == 700.0  # 2000 - 100 * (5999 // 450) = 700
+
+    # Monkey contact on the same floor is lethal.
+    s4 = _kg_reset(None)
+    s4 = s4.replace(monkey_x=s4.monkey_x.at[0].set(s4.x))
+    s5, _ = act(s4, zero, zero, zero, None)
+    assert int(s5.lives) == int(s4.lives) - 1, "monkey contact did not kill"
+
+
+def test_jamesbond_difficulty_ramps_with_spawn_count():
+    """Obstacle speed ramps with the wave count and flying enemies home onto
+    the player's altitude (jamesbond.cc round-5 calibration)."""
+    from cleanba_tpu.envs.jax_games_wave9b import _jb_act, _jb_reset
+
+    act = jax.jit(_jb_act)
+    zero = jnp.int32(0)
+    key = jax.random.PRNGKey(0)
+
+    s = _jb_reset(None)
+    s = s.replace(
+        spawn_count=jnp.int32(100), spawn_clock=jnp.int32(1),
+        ob_live=s.ob_live.at[0].set(True),
+        ob_type=s.ob_type.at[0].set(1),
+        ob_x=s.ob_x.at[0].set(60.0),
+        ob_y=s.ob_y.at[0].set(30.0),
+    )
+    s2, _ = act(s, zero, zero, zero, key)
+    # speed = 1.5 + 0.05 * 100 = 6.5 px/frame at wave count 100.
+    assert float(s.ob_x[0]) - float(s2.ob_x[0]) == pytest.approx(6.5, abs=1e-3)
+    # Homing: 0.06 + 0.004 * 100 = 0.46 px/frame toward the player (py=50).
+    assert float(s2.ob_y[0]) - float(s.ob_y[0]) == pytest.approx(0.46, abs=1e-3)
+
+
+def test_zaxxon_fuel_burns_and_tank_refuels():
+    """Fuel burns 1/16 per raw frame, an empty tank crashes the ship, and
+    shooting a fuel tank refuels (zaxxon.cc round-5 calibration)."""
+    from cleanba_tpu.envs.jax_games_wave9b import _zx_act, _zx_reset
+
+    act = jax.jit(_zx_act)
+    zero = jnp.int32(0)
+    key = jax.random.PRNGKey(0)
+
+    s = _zx_reset(None)
+    for _ in range(16):
+        key, sub = jax.random.split(key)
+        s, _ = act(s, zero, jnp.int32(-1), zero, sub)
+    assert float(s.fuel) == pytest.approx(59.0), "16 frames should burn 1 unit"
+
+    # Empty tank crashes the ship (and respawn refills it).
+    s2 = s.replace(fuel=jnp.float32(0.05))
+    key, sub = jax.random.split(key)
+    s3, _ = act(s2, zero, jnp.int32(-1), zero, sub)
+    assert int(s3.lives) == int(s2.lives) - 1, "fuel-out did not cost a life"
+    assert float(s3.fuel) == pytest.approx(60.0), "respawn did not refill"
+
+    # A shot connecting with a tank site refuels (+16, capped at 60).
+    s4 = _zx_reset(None)
+    s4 = s4.replace(
+        fuel=jnp.float32(20.0),
+        shot_live=jnp.bool_(True), shot_x=jnp.float32(40.0),
+        shot_y=jnp.float32(30.0),
+        site_live=s4.site_live.at[0].set(True),
+        site_tank=s4.site_tank.at[0].set(True),
+        site_x=s4.site_x.at[0].set(38.0),
+        site_y=s4.site_y.at[0].set(26.0),
+    )
+    key, sub = jax.random.split(key)
+    s5, r = act(s4, zero, zero, zero, sub)
+    assert float(r) == 300.0, "tank kill should pay 300"
+    # 20 + 16 - burn(0.0625) = 35.9375
+    assert float(s5.fuel) == pytest.approx(35.9375)
+
+
+def test_freeway_chicken_speed_calibrated():
+    """The chicken climbs 0.35 px/raw-frame (freeway.cc round-5 crossing
+    economy calibration)."""
+    from cleanba_tpu.envs.jax_games_extra import _fw_act, _fw_reset
+
+    s = _fw_reset(None)
+    s2, _ = jax.jit(_fw_act)(s, jnp.int32(0), jnp.int32(-1), jnp.int32(0), None)
+    assert float(s.chicken_y) - float(s2.chicken_y) == pytest.approx(0.35, abs=1e-3)
+
+
 def test_zaxxon_wall_requires_altitude():
     """Flying below a wall's required altitude costs a life; max-altitude
     flight passes every wall safely (zaxxon.cc wall handling)."""
