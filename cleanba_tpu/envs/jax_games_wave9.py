@@ -411,7 +411,7 @@ def _kg_act(s: KangarooCore, dx, dy, fire, key):
     del key
     live = ~s.over
     lvl_f = s.level.astype(jnp.float32)
-    mspeed = 0.6 + 0.25 * lvl_f
+    mspeed = 0.6 + 0.35 * lvl_f
     punch_cd = jnp.maximum(s.punch_cd - 1, 0)
     stand = jnp.asarray(_KG_STAND_Y)
     dyf = dy.astype(jnp.float32)
@@ -445,8 +445,8 @@ def _kg_act(s: KangarooCore, dx, dy, fire, key):
     climbing = jnp.where(cl, climbing_cl, starts)
 
     # Rescue bonus ticks down with level time (arcade bonus clock, mirrors
-    # kangaroo.cc): 2000 at level start, -100 every 450 raw frames, floor 200.
-    bonus = jnp.maximum(jnp.int32(200), 2000 - 100 * (s.timer // 450))
+    # kangaroo.cc): 2000 at level start, -100 every 300 raw frames, floor 100.
+    bonus = jnp.maximum(jnp.int32(100), 2000 - 100 * (s.timer // 300))
     reward = jnp.where(rescued, bonus.astype(jnp.float32), 0.0)
     score = s.score + jnp.where(rescued, bonus, 0)
 
@@ -488,13 +488,13 @@ def _kg_act(s: KangarooCore, dx, dy, fire, key):
 
     # -- apples (period shrinks / speed grows with level, kangaroo.cc ramp) ---
     active_m = hold == 0
-    period = jnp.maximum(jnp.int32(40),
-                         jnp.asarray(_KG_APPLE_PERIOD) - 16 * s.level)
+    period = jnp.maximum(jnp.int32(24),
+                         jnp.asarray(_KG_APPLE_PERIOD) - 24 * s.level)
     apple_timer = jnp.where(active_m & ~apple_live, apple_timer + 1, apple_timer)
     throws = active_m & ~apple_live & (apple_timer >= period)
     apple_timer = jnp.where(throws, 0, apple_timer)
     ax0 = mx + _KG_MW / 2.0
-    av = _KG_AV + 0.2 * lvl_f
+    av = _KG_AV + 0.3 * lvl_f
     avx = jnp.where(x >= ax0, av, -av)
     apple_x = jnp.where(throws, ax0, s.apple_x)
     apple_vx = jnp.where(throws, avx, s.apple_vx)

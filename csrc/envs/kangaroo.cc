@@ -64,7 +64,7 @@ class KangarooGame : public Game {
   float act(const AleAction& a, PCG32&) override {
     if (over_) return 0.0f;
     float reward = 0.0f;
-    float mspeed = 0.6f + 0.25f * static_cast<float>(level_);
+    float mspeed = 0.6f + 0.35f * static_cast<float>(level_);
 
     if (punch_cd_ > 0) --punch_cd_;
 
@@ -78,10 +78,10 @@ class KangarooGame : public Game {
         climbing_ = false;
         if (floor_ == kFloors) {
           // Rescue! The bonus counter ticks down with level time (arcade
-          // bonus clock): 2000 at the start, -100 every 450 raw frames,
-          // floor 200.
-          int bonus = 2000 - 100 * (timer_ / 450);
-          if (bonus < 200) bonus = 200;
+          // bonus clock): 2000 at the start, -100 every 300 raw frames,
+          // floor 100.
+          int bonus = 2000 - 100 * (timer_ / 300);
+          if (bonus < 100) bonus = 100;
           reward += static_cast<float>(bonus);
           score_ += bonus;
           ++level_;
@@ -153,17 +153,17 @@ class KangarooGame : public Game {
 
     // Apples: monkey m (on floor m) lobs one at the player when its timer
     // fires; one in flight per monkey. Level ramp: launch period shrinks
-    // (floor 40) and flight speed grows with each rescue.
+    // (floor 24) and flight speed grows with each rescue.
     for (int m = 0; m < kMonkeys; ++m) {
       if (monkey_hold_[m] > 0) continue;
       if (!apple_live_[m]) {
-        int period = 140 + 37 * m - 16 * level_;
-        if (period < 40) period = 40;
+        int period = 140 + 37 * m - 24 * level_;
+        if (period < 24) period = 24;
         if (++apple_timer_[m] >= period) {
           apple_timer_[m] = 0;
           apple_live_[m] = true;
           apple_x_[m] = monkey_x_[m] + kMonkeyW / 2.0f;
-          float av = kAppleV + 0.2f * static_cast<float>(level_);
+          float av = kAppleV + 0.3f * static_cast<float>(level_);
           apple_vx_[m] = (x_ >= apple_x_[m] ? 1.0f : -1.0f) * av;
         }
         continue;

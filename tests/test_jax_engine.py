@@ -1046,7 +1046,9 @@ def test_kangaroo_fruit_and_rescue():
     climb()
     assert int(s.level) == before + 1, "rescue did not advance the level"
     assert punched >= 1, "a patrol monkey should have needed punching"
-    assert total >= 2000.0, f"fruit + punches + rescue should pay >= 2000, got {total}"
+    # Fruit (300) + punches (>=200) + the ticked rescue bonus (>=1000 for a
+    # path this short).
+    assert total >= 1500.0, f"fruit + punches + rescue should pay >= 1500, got {total}"
 
 
 # ---------------------------------------------------------------------------
@@ -1125,8 +1127,8 @@ def test_chopper_command_kills_and_truck_bonus():
 
 
 def test_kangaroo_rescue_bonus_ticks_down_and_monkeys_kill():
-    """The rescue bonus decays with level time (2000 - 100 per 450 raw
-    frames, floor 200) and monkey contact costs a life (kangaroo.cc round-5
+    """The rescue bonus decays with level time (2000 - 100 per 300 raw
+    frames, floor 100) and monkey contact costs a life (kangaroo.cc round-5
     calibration)."""
     from cleanba_tpu.envs.jax_games_wave9 import (
         _KG_LADDER_X, _KG_STAND_Y, _kg_act, _kg_reset,
@@ -1145,13 +1147,13 @@ def test_kangaroo_rescue_bonus_ticks_down_and_monkeys_kill():
     )
     s2, r = act(s, zero, jnp.int32(-1), zero, None)
     assert int(s2.level) == 1, "forced climb did not rescue"
-    assert float(r) == 1400.0, f"ticked bonus should be 1400, got {float(r)}"
+    assert float(r) == 1100.0, f"ticked bonus should be 1100, got {float(r)}"
     assert int(s2.timer) == 0, "rescue did not reset the level clock"
 
     # Deep decay floors at 200.
     s3 = s.replace(timer=jnp.int32(5999))
     _, r3 = act(s3, zero, jnp.int32(-1), zero, None)
-    assert float(r3) == 700.0  # 2000 - 100 * (5999 // 450) = 700
+    assert float(r3) == 100.0  # floor: 2000 - 100 * (5999 // 300) < 100
 
     # Monkey contact on the same floor is lethal.
     s4 = _kg_reset(None)
