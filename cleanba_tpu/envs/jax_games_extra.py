@@ -39,8 +39,8 @@ _FW_CHICKEN_X = 42.0
 _FW_CHICKEN_W = _FW_CHICKEN_H = 4
 _FW_START_Y = 76.0
 _FW_GOAL_Y = 8.0
-_FW_GAME_FRAMES = 8192
-_FW_CHICKEN_SPEED = 0.35  # px/raw-frame — real crossing economy (freeway.cc)
+_FW_GAME_FRAMES = 2304  # ALE-equivalent crossing budget (freeway.cc r5 note)
+_FW_CHICKEN_SPEED = 1.0
 _FW_SPEED = np.array([0.6, 0.9, 1.2, 0.5, 0.8, 0.8, 0.5, 1.2, 0.9, 0.6], np.float32)
 _FW_DIR = np.array([-1.0] * 5 + [1.0] * 5, np.float32)
 _FW_LANE_Y = np.array([_FW_ROAD_TOP + l * _FW_LANE_H + 1 for l in range(_FW_LANES)], np.float32)

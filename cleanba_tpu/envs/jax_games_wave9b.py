@@ -468,9 +468,9 @@ _ZX_SITES = 4
 _ZX_SW, _ZX_SH = 6.0, 4.0
 _ZX_SHOT_V = 2.5
 _ZX_LIVES = 3
-_ZX_FUEL_MAX = 60.0   # units; 1/16 unit burned per raw frame (zaxxon.cc)
+_ZX_FUEL_MAX = 40.0   # units; 1/16 unit burned per raw frame (zaxxon.cc)
 _ZX_FUEL_BURN = 0.0625
-_ZX_FUEL_PER_TANK = 16.0
+_ZX_FUEL_PER_TANK = 10.0
 
 
 @flax.struct.dataclass

@@ -27,14 +27,17 @@ constexpr int kChickenW = 4;
 constexpr int kChickenH = 4;
 constexpr float kStartY = 76.0f;
 constexpr float kGoalY = 8.0f;
-constexpr int kGameFrames = 8192;  // ~the real game's 2-minute timer
 // Round-5 calibration (HNS.md appendix): at 1 px/raw-frame over this 68 px
-// road a crossing took ~1.1 s vs the real cabinet's ~4 s, so raw crossing
-// counts ran ~2.5x the ALE-anchored human score (75 crossings, 253.8% HNS).
-// 0.35 px/frame restores the real crossing economy: a perfect uninterrupted
-// crossing takes ~195 raw frames, capping an episode at ~42 crossings
-// (expert ALE play is ~30-34).
-constexpr float kChickenSpeed = 0.35f;
+// road a crossing takes ~1.1 s vs the real cabinet's ~4 s, so on the real
+// 2:16 timer raw crossing counts ran ~2.5x the ALE-anchored human score
+// (75 crossings, 253.8% HNS). Slowing the chicken killed exploration (a
+// crossing became ~49 consecutive UP decisions; trained return 0.0), so the
+// economy is instead calibrated through the clock: the episode lasts as many
+// crossing-times as the real game's (8192 x 1.13/4.0 ~= 2304 raw frames),
+// capping an episode at ~33 crossings — the ALE expert ceiling — while
+// keeping the 1 px/frame chicken learnable.
+constexpr int kGameFrames = 2304;
+constexpr float kChickenSpeed = 1.0f;
 
 // Per-lane car speeds (px per raw frame); lanes 0-4 move left, 5-9 right.
 const float kSpeed[kLanes] = {0.6f, 0.9f, 1.2f, 0.5f, 0.8f,

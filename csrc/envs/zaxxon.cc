@@ -41,9 +41,9 @@ constexpr int kSites = 4;             // ground-site slots
 constexpr float kSiteW = 6.0f, kSiteH = 4.0f;
 constexpr float kShotV = 2.5f;
 constexpr int kLives = 3;
-constexpr float kFuelMax = 60.0f;     // units; 1/16 unit burned per raw frame
+constexpr float kFuelMax = 40.0f;     // units; 1/16 unit burned per raw frame
 constexpr float kFuelBurn = 0.0625f;
-constexpr float kFuelPerTank = 16.0f;
+constexpr float kFuelPerTank = 10.0f;
 
 class ZaxxonGame : public Game {
  public:

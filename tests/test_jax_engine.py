@@ -1199,14 +1199,14 @@ def test_zaxxon_fuel_burns_and_tank_refuels():
     for _ in range(16):
         key, sub = jax.random.split(key)
         s, _ = act(s, zero, jnp.int32(-1), zero, sub)
-    assert float(s.fuel) == pytest.approx(59.0), "16 frames should burn 1 unit"
+    assert float(s.fuel) == pytest.approx(39.0), "16 frames should burn 1 unit"
 
     # Empty tank crashes the ship (and respawn refills it).
     s2 = s.replace(fuel=jnp.float32(0.05))
     key, sub = jax.random.split(key)
     s3, _ = act(s2, zero, jnp.int32(-1), zero, sub)
     assert int(s3.lives) == int(s2.lives) - 1, "fuel-out did not cost a life"
-    assert float(s3.fuel) == pytest.approx(60.0), "respawn did not refill"
+    assert float(s3.fuel) == pytest.approx(40.0), "respawn did not refill"
 
     # A shot connecting with a tank site refuels (+16, capped at 60).
     s4 = _zx_reset(None)
@@ -1222,18 +1222,24 @@ def test_zaxxon_fuel_burns_and_tank_refuels():
     key, sub = jax.random.split(key)
     s5, r = act(s4, zero, zero, zero, sub)
     assert float(r) == 300.0, "tank kill should pay 300"
-    # 20 + 16 - burn(0.0625) = 35.9375
-    assert float(s5.fuel) == pytest.approx(35.9375)
+    # 20 + 10 - burn(0.0625) = 29.9375
+    assert float(s5.fuel) == pytest.approx(29.9375)
 
 
-def test_freeway_chicken_speed_calibrated():
-    """The chicken climbs 0.35 px/raw-frame (freeway.cc round-5 crossing
-    economy calibration)."""
-    from cleanba_tpu.envs.jax_games_extra import _fw_act, _fw_reset
+def test_freeway_episode_budget_calibrated():
+    """The episode clock is 2304 raw frames — the ALE-equivalent crossing
+    budget (freeway.cc round-5 crossing-economy calibration), capping an
+    episode at ~33 crossings."""
+    from cleanba_tpu.envs.jax_games_extra import _FW_GAME_FRAMES, _fw_act, _fw_reset
 
+    assert _FW_GAME_FRAMES == 2304
     s = _fw_reset(None)
-    s2, _ = jax.jit(_fw_act)(s, jnp.int32(0), jnp.int32(-1), jnp.int32(0), None)
-    assert float(s.chicken_y) - float(s2.chicken_y) == pytest.approx(0.35, abs=1e-3)
+    act = jax.jit(_fw_act)
+    for _ in range(_FW_GAME_FRAMES):
+        s, _ = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(0), None)
+        if bool(s.over):
+            break
+    assert bool(s.over), "episode clock never fired"
 
 
 def test_zaxxon_wall_requires_altitude():
@@ -1246,10 +1252,12 @@ def test_zaxxon_wall_requires_altitude():
 
     def run(dy_raw):
         # alt -= dy * rate: dy=-1 climbs to max, dy=+1 pins alt at 0.
+        # 600 frames: within the 40-unit fuel budget (640 frames), past the
+        # first wall (~224 frames).
         s = _zx_reset(None)
         key_ = key
         deaths = 0
-        for t in range(800):
+        for t in range(600):
             key_, sub = jax.random.split(key_)
             prev_lives = int(s.lives)
             s, _ = act(s, jnp.int32(0), jnp.int32(dy_raw), jnp.int32(0), sub)
