@@ -354,8 +354,8 @@ def _vn_in_any_room(x, y):
 def _vn_act(s: VentureCore, dx, dy, fire, key):
     del key  # fully deterministic
     live = ~s.over
-    hspeed = 0.35 + 0.08 * s.level.astype(jnp.float32)
-    gspeed = 0.5 + 0.1 * s.level.astype(jnp.float32)
+    hspeed = 0.35 + 0.25 * s.level.astype(jnp.float32)
+    gspeed = 0.5 + 0.3 * s.level.astype(jnp.float32)
     walls = jnp.asarray(_VN_WALLS)
     walls_pad = jnp.asarray(_VN_WALLS_PAD)
 
@@ -525,6 +525,11 @@ _IH_FRAMES = 12000
 _IH_HOLD = 30
 
 
+# Goalie + faceoff shot delay (ice_hockey.cc round-5 calibration).
+_IH_GW, _IH_GH, _IH_GSPD = 5.0, 3.0, 0.7
+_IH_COOL = 30
+
+
 @flax.struct.dataclass
 class IceHockeyCore:
     px: jax.Array
@@ -536,6 +541,8 @@ class IceHockeyCore:
     puck_vx: jax.Array
     puck_vy: jax.Array
     ai_hold: jax.Array
+    gx: jax.Array
+    shot_cool: jax.Array
     score_us: jax.Array
     score_them: jax.Array
     frame: jax.Array
@@ -549,6 +556,8 @@ def _ih_faceoff_fields():
         puck_x=jnp.float32(41.0), puck_y=jnp.float32(41.0),
         puck_vx=jnp.float32(0.0), puck_vy=jnp.float32(0.0),
         ai_hold=jnp.int32(0),
+        gx=jnp.float32((_IH_GL + _IH_GR) / 2.0 - _IH_GW / 2.0),
+        shot_cool=jnp.int32(_IH_COOL),
     )
 
 
@@ -578,6 +587,11 @@ def _ih_act(s: IceHockeyCore, dx, dy, fire, key):
     adx, ady = tx - s.ax, ty - s.ay
     an = jnp.sqrt(adx * adx + ady * ady) + 1e-3
     ax, ay = _ih_clamp(s.ax + adx / an * _IH_AS, s.ay + ady / an * _IH_AS)
+    # The goalie shadows the puck along the top mouth (ice_hockey.cc).
+    shot_cool = jnp.maximum(s.shot_cool - 1, 0)
+    want = s.puck_x + _IH_PK / 2.0 - _IH_GW / 2.0
+    gxp = jnp.clip(s.gx + jnp.clip(want - s.gx, -_IH_GSPD, _IH_GSPD),
+                   _IH_GL, _IH_GR - _IH_GW)
 
     def d2(cx, cy):
         ddx = s.puck_x + _IH_PK / 2.0 - cx
@@ -594,15 +608,17 @@ def _ih_act(s: IceHockeyCore, dx, dy, fire, key):
     loose = ~p_has & ~a_has
 
     # Player possession.
-    shoots = p_has & (fire > 0)
-    gx = (_IH_GL + _IH_GR) / 2.0
+    shoots = p_has & (fire > 0) & (shot_cool == 0)
+    # Aimable shot: LEFT/RIGHT+FIRE pulls the target toward a post
+    # (ice_hockey.cc).
+    gx = (_IH_GL + _IH_GR) / 2.0 + 6.0 * dx.astype(jnp.float32)
     sdx = gx - (px + _IH_SK / 2.0)
     sdy = _IH_T - (py - 1.5)
     sm = jnp.sqrt(sdx * sdx + sdy * sdy) + 1e-3
     # AI possession (the wind-up counter persists through loose-puck play,
     # resetting only when the player takes the puck — ice_hockey.cc).
     ai_hold = jnp.where(a_has, s.ai_hold + 1, jnp.where(p_has, 0, s.ai_hold))
-    ai_shoots = a_has & (ai_hold >= _IH_HOLD)
+    ai_shoots = a_has & (ai_hold >= _IH_HOLD) & (shot_cool == 0)
     ai_hold = jnp.where(ai_shoots, 0, ai_hold)
     jitter = (jax.random.uniform(key) - 0.5) * 10.0
     agx = gx + jitter
@@ -636,6 +652,14 @@ def _ih_act(s: IceHockeyCore, dx, dy, fire, key):
         -puck_vy, puck_vy,
     )
     puck_x = jnp.clip(puck_x, _IH_L, _IH_R - _IH_PK)
+    # The goalie blocks upward shots crossing its crease box.
+    blocked = (
+        loose & (puck_vy < 0.0)
+        & (puck_y <= _IH_T + 2.0) & (puck_y + _IH_PK >= _IH_T - 2.0)
+        & (puck_x + _IH_PK > gxp) & (puck_x < gxp + _IH_GW)
+    )
+    puck_vy = jnp.where(blocked, -puck_vy * 0.8, puck_vy)
+    puck_y = jnp.where(blocked, _IH_T + 2.5, puck_y)
     we_score = loose & in_mouth & (puck_y < _IH_T - 2.0)
     they_score = loose & ~we_score & in_mouth & (puck_y + _IH_PK > _IH_B + 2.0)
     reward = jnp.where(we_score, 1.0, 0.0) - jnp.where(they_score, 1.0, 0.0)
@@ -653,11 +677,14 @@ def _ih_act(s: IceHockeyCore, dx, dy, fire, key):
     puck_vx = jnp.where(goal, fo["puck_vx"], puck_vx)
     puck_vy = jnp.where(goal, fo["puck_vy"], puck_vy)
     ai_hold = jnp.where(goal, fo["ai_hold"], ai_hold)
+    gxp = jnp.where(goal, fo["gx"], gxp)
+    shot_cool = jnp.where(goal, fo["shot_cool"], shot_cool)
 
     over = s.over | (frame >= _IH_FRAMES)
     out = IceHockeyCore(
         px=px, py=py, ax=ax, ay=ay, puck_x=puck_x, puck_y=puck_y,
         puck_vx=puck_vx, puck_vy=puck_vy, ai_hold=ai_hold,
+        gx=gxp, shot_cool=shot_cool,
         score_us=score_us, score_them=score_them, frame=frame, over=over,
     )
     out = jax.tree.map(lambda n_, o_: jnp.where(live, n_, o_), out, s)
@@ -679,6 +706,8 @@ def _ih_render(s: IceHockeyCore):
     mouths = goal_cols & ((y == int(_IH_T) - 2) | (y == int(_IH_B) + 2))
     f = jnp.where(mouths, jnp.uint8(60), f)
     f = jnp.where(_rect_mask(y, x, s.ax, s.ay, _IH_SK, _IH_SK), jnp.uint8(150), f)
+    f = jnp.where(_rect_mask(y, x, s.gx, _IH_T - 1.0, _IH_GW, _IH_GH),
+                  jnp.uint8(170), f)
     f = jnp.where(_rect_mask(y, x, s.px, s.py, _IH_SK, _IH_SK), jnp.uint8(255), f)
     f = jnp.where(_rect_mask(y, x, s.puck_x, s.puck_y, _IH_PK, _IH_PK),
                   jnp.uint8(220), f)

@@ -57,6 +57,7 @@ class MontezumaCore:
     skull_dir: jax.Array
     has_key: jax.Array
     doors: jax.Array     # [2]
+    cycles: jax.Array    # door-pair re-arms — skull speed ramps with each
     lives: jax.Array
     score: jax.Array
     over: jax.Array
@@ -75,6 +76,7 @@ def _mz_reset(key):
     return MontezumaCore(
         skull_x=jnp.float32(_MZ_SMIN), skull_dir=jnp.float32(1.0),
         has_key=jnp.bool_(False), doors=jnp.ones(2, bool),
+        cycles=jnp.int32(0),
         lives=jnp.int32(_MZ_LIVES), score=jnp.int32(0), over=jnp.bool_(False),
         **_mz_respawn_fields(),
     )
@@ -149,7 +151,8 @@ def _mz_act(s: MontezumaCore, dx, dy, fire, key):
     grounded = jnp.where(was_climbing, cl_done, grounded_pl)
     climbing = jnp.where(was_climbing, ~cl_done, jnp.bool_(False))
 
-    skull_x = s.skull_x + s.skull_dir * 0.5
+    # Each re-arm cycle speeds the skull (montezuma.cc round-5 calibration).
+    skull_x = s.skull_x + s.skull_dir * (0.5 + 0.35 * s.cycles.astype(jnp.float32))
     skull_dir = jnp.where(skull_x < _MZ_SMIN, 1.0,
                           jnp.where(skull_x > _MZ_SMAX, -1.0, s.skull_dir))
     skull_x = jnp.clip(skull_x, _MZ_SMIN, _MZ_SMAX)
@@ -174,7 +177,9 @@ def _mz_act(s: MontezumaCore, dx, dy, fire, key):
     has_key = jnp.where(opened, False, has_key)
     reward = reward + jnp.where(opened, 300.0, 0.0)
     score = score + jnp.where(opened, 300, 0)
-    doors = jnp.where(~doors.any(), jnp.ones_like(doors), doors)
+    rearm = ~doors.any()
+    cycles = s.cycles + rearm.astype(jnp.int32)
+    doors = jnp.where(rearm, jnp.ones_like(doors), doors)
 
     lives = s.lives - skulled.astype(jnp.int32)
     over = s.over | (skulled & (lives <= 0))
@@ -188,6 +193,7 @@ def _mz_act(s: MontezumaCore, dx, dy, fire, key):
     out = MontezumaCore(
         px=px, py=py, vy=vy, grounded=grounded, climbing=climbing,
         skull_x=skull_x, skull_dir=skull_dir, has_key=has_key, doors=doors,
+        cycles=cycles,
         lives=lives, score=score, over=over,
     )
     out = jax.tree.map(lambda n_, o_: jnp.where(live, n_, o_), out, s)

@@ -1,7 +1,12 @@
 // Ice Hockey — from-scratch C++ clone with the classic mechanics: a
 // top-down rink, a puck with glide friction, possession by proximity, shots
-// on goal with FIRE, an AI opponent that chases and counter-shoots. Goals
-// score +1 / -1; the clock ends the game.
+// on goal with FIRE, an AI opponent that chases and counter-shoots, and an
+// AI goalie guarding the top mouth (round-5 calibration: without it the
+// player won every deterministic faceoff race and scored each ~31 frames —
+// 390 net goals / 3,315% HNS, 6x any published agent on the real game; the
+// goalie plus a 30-frame faceoff shot delay cap the differential near the
+// published R2D2/Agent57 range). Goals score +1 / -1; the clock ends the
+// game.
 //
 // Stands in for EnvPool's ALE IceHockey-v5 in the reference's benchmark
 // configs (reference make_env, cleanba/cleanba_ppo.py:126-146); ALE ROMs are
@@ -28,6 +33,8 @@ constexpr float kAiSpeed = 0.9f;
 constexpr float kShot = 2.2f;
 constexpr float kFriction = 0.985f;
 constexpr float kReach = 4.0f;
+constexpr float kGoalieW = 5.0f, kGoalieH = 3.0f, kGoalieSpeed = 0.7f;
+constexpr int kFaceoffCool = 30;
 constexpr int kGameFrames = 12000;
 constexpr int kAiHold = 30;
 
@@ -56,6 +63,15 @@ class IceHockeyGame : public Game {
     ax_ += adx / n * kAiSpeed;
     ay_ += ady / n * kAiSpeed;
     clamp_skater(&ax_, &ay_);
+    // The goalie shadows the puck along the top mouth.
+    if (shot_cool_ > 0) --shot_cool_;
+    float want = puck_x_ + kPuck / 2.0f - kGoalieW / 2.0f;
+    float gd = want - gx_;
+    if (gd > kGoalieSpeed) gd = kGoalieSpeed;
+    if (gd < -kGoalieSpeed) gd = -kGoalieSpeed;
+    gx_ += gd;
+    if (gx_ < kGoalL) gx_ = kGoalL;
+    if (gx_ > kGoalR - kGoalieW) gx_ = kGoalR - kGoalieW;
 
     // Possession by proximity (the closer skater wins a contested puck) —
     // but only of a slow puck, so a shot escapes the shooter's stick
@@ -72,8 +88,10 @@ class IceHockeyGame : public Game {
       puck_x_ = px_ + kSkater / 2.0f;
       puck_y_ = py_ - 1.5f;
       puck_vx_ = puck_vy_ = 0.0f;
-      if (a.fire) {  // shoot at the top goal mouth center
-        float gx = (kGoalL + kGoalR) / 2.0f;
+      if (a.fire && shot_cool_ == 0) {
+        // Aimable shot: LEFT/RIGHT+FIRE pulls the target toward a post, so
+        // a post shot can beat a center-parked goalie.
+        float gx = (kGoalL + kGoalR) / 2.0f + 6.0f * static_cast<float>(a.dx);
         float dx = gx - puck_x_, dy = kRinkT - puck_y_;
         float m = std::sqrt(dx * dx + dy * dy) + 1e-3f;
         puck_vx_ = dx / m * kShot;
@@ -86,7 +104,7 @@ class IceHockeyGame : public Game {
       puck_y_ = ay_ + kSkater + 0.5f;
       puck_vx_ = puck_vy_ = 0.0f;
       // The AI shoots after winding up, with a little aim jitter.
-      if (++ai_hold_ >= kAiHold) {
+      if (++ai_hold_ >= kAiHold && shot_cool_ == 0) {
         ai_hold_ = 0;
         float gx = (kGoalL + kGoalR) / 2.0f +
                    (rng.uniform() - 0.5f) * 10.0f;
@@ -108,6 +126,13 @@ class IceHockeyGame : public Game {
       if (!in_mouth && (puck_y_ < kRinkT || puck_y_ + kPuck > kRinkB))
         puck_vy_ = -puck_vy_;
       puck_x_ = std::max(kRinkL, std::min(puck_x_, kRinkR - kPuck));
+      // The goalie blocks upward shots crossing its crease box.
+      if (puck_vy_ < 0.0f && puck_y_ <= kRinkT + 2.0f &&
+          puck_y_ + kPuck >= kRinkT - 2.0f &&
+          puck_x_ + kPuck > gx_ && puck_x_ < gx_ + kGoalieW) {
+        puck_vy_ = -puck_vy_ * 0.8f;
+        puck_y_ = kRinkT + 2.5f;
+      }
       // Goals.
       if (in_mouth && puck_y_ < kRinkT - 2.0f) {
         reward += 1.0f;
@@ -143,6 +168,7 @@ class IceHockeyGame : public Game {
       f[(static_cast<int>(kRinkB) + 2) * kScreen + x] = 60;
     }
     draw_rect(f, ax_, ay_, kSkater, kSkater, 150);
+    draw_rect(f, gx_, kRinkT - 1.0f, kGoalieW, kGoalieH, 170);
     draw_rect(f, px_, py_, kSkater, kSkater, 255);
     draw_rect(f, puck_x_, puck_y_, kPuck, kPuck, 220);
     // Score pips: ours on the left, theirs on the right.
@@ -178,6 +204,8 @@ class IceHockeyGame : public Game {
     puck_y_ = 41.0f;
     puck_vx_ = puck_vy_ = 0.0f;
     ai_hold_ = 0;
+    gx_ = (kGoalL + kGoalR) / 2.0f - kGoalieW / 2.0f;
+    shot_cool_ = kFaceoffCool;
   }
 
   static void draw_rect(uint8_t* f, float fx, float fy, float fw, float fh, uint8_t v) {
@@ -189,6 +217,8 @@ class IceHockeyGame : public Game {
   }
 
   float px_ = 39.0f, py_ = 58.0f, ax_ = 39.0f, ay_ = 22.0f;
+  float gx_ = (kGoalL + kGoalR) / 2.0f - kGoalieW / 2.0f;
+  int shot_cool_ = 0;
   float puck_x_ = 41.0f, puck_y_ = 41.0f, puck_vx_ = 0.0f, puck_vy_ = 0.0f;
   int ai_hold_ = 0;
   int score_us_ = 0, score_them_ = 0;

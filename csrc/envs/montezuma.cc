@@ -44,12 +44,18 @@ class MontezumaGame : public Game {
     skull_x_ = kSkullMin;
     skull_dir_ = 1.0f;
     respawn();
+    cycles_ = 0;
   }
 
   float act(const AleAction& a, PCG32&) override {
     if (over_) return 0.0f;
     float reward = 0.0f;
-    float skull_speed = 0.5f;
+    // Round-5 calibration: the re-arming key/door circuit paid a flat +800
+    // forever (268k trained return / 5,648% HNS — far beyond any published
+    // agent on the hardest ALE exploration game). Each re-arm now speeds the
+    // skull, making the bottom-floor crossing progressively lethal and
+    // capping the circuit near published strong-agent scores (Agent57 9.3k).
+    float skull_speed = 0.5f + 0.35f * static_cast<float>(cycles_);
 
     // Ladder logic: enter when aligned and pressing up/down.
     float cx = px_ + kPlayerW / 2.0f;
@@ -144,9 +150,11 @@ class MontezumaGame : public Game {
           has_key_ = false;
           reward += 300.0f;
           score_ += 300;
-          // Both doors opened: the room re-arms (fresh key and doors).
+          // Both doors opened: the room re-arms (fresh key and doors)
+          // with a faster skull.
           if (!doors_[0] && !doors_[1]) {
             doors_[0] = doors_[1] = true;
+            ++cycles_;
           }
         }
       }
@@ -236,6 +244,7 @@ class MontezumaGame : public Game {
   float px_ = 38.0f, py_ = 13.0f, vy_ = 0.0f;
   bool grounded_ = true, climbing_ = false;
   float skull_x_ = kSkullMin, skull_dir_ = 1.0f;
+  int cycles_ = 0;
   bool has_key_ = false;
   bool doors_[2] = {true, true};
   int lives_ = kLives;

@@ -47,8 +47,11 @@ class VentureGame : public Game {
   float act(const AleAction& a, PCG32&) override {
     if (over_) return 0.0f;
     float reward = 0.0f;
-    float hspeed = 0.35f + 0.08f * static_cast<float>(level_);
-    float gspeed = 0.5f + 0.1f * static_cast<float>(level_);
+    // Round-5 calibration: the mild ramp let a trained agent farm ~19
+    // dungeon levels (15.7k / 1,324% HNS — 6x Agent57 on the real game).
+    // Hallmonsters and goblins now outpace the player within a few levels.
+    float hspeed = 0.35f + 0.25f * static_cast<float>(level_);
+    float gspeed = 0.5f + 0.3f * static_cast<float>(level_);
 
     // Player: per-axis movement blocked by room walls.
     float nx = px_ + static_cast<float>(a.dx) * kWalk;

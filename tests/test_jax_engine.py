@@ -1612,26 +1612,46 @@ def test_venture_treasure_in_room_pays_200():
     assert bool(s.room_done[0]), "room 0 not marked done"
 
 
-def test_ice_hockey_shot_into_open_goal_scores():
-    """With possession in front of the open top goal, FIRE scores +1
-    (ice_hockey.cc goal handling)."""
+def test_ice_hockey_angled_shot_beats_goalie():
+    """With possession at the mouth's edge, an angled FIRE slips past the
+    puck-shadowing goalie for +1; the goalie blocks shots through its
+    crease box (ice_hockey.cc goal handling, round-5 goalie)."""
     from cleanba_tpu.envs.jax_games_wave10 import _ih_act, _ih_reset
 
     act = jax.jit(_ih_act)
     key = jax.random.PRNGKey(0)
     s = _ih_reset(None)
-    # Park the AI far away and take the puck right in front of the goal.
-    s = s.replace(px=jnp.float32(39.0), py=jnp.float32(20.0),
+    # Park the AI far away, expire the faceoff shot delay, pin the goalie on
+    # the far post, and take the puck at the mouth's left edge: the shot to
+    # mouth center crosses the crease outside the goalie's box.
+    s = s.replace(px=jnp.float32(32.0), py=jnp.float32(20.0),
                   ax=jnp.float32(10.0), ay=jnp.float32(60.0),
-                  puck_x=jnp.float32(41.0), puck_y=jnp.float32(19.5))
+                  puck_x=jnp.float32(34.0), puck_y=jnp.float32(19.5),
+                  gx=jnp.float32(45.0), shot_cool=jnp.int32(0))
     total = 0.0
-    for t in range(40):
+    for t in range(80):
         key, sub = jax.random.split(key)
-        s, r = act(s, jnp.int32(0), jnp.int32(0), jnp.int32(1), sub)
+        # Aim at the left post (dx=-1), away from the right-pinned goalie.
+        s, r = act(s, jnp.int32(-1), jnp.int32(0), jnp.int32(1), sub)
         total += float(r)
         if total >= 1.0:
             break
-    assert total >= 1.0, f"point-blank shot never scored, total={total}"
+    assert total >= 1.0, f"angled shot never scored, total={total}"
+
+    # Dead-center shot with the goalie square in front never scores within
+    # the same window.
+    s2 = _ih_reset(None)
+    s2 = s2.replace(px=jnp.float32(39.0), py=jnp.float32(20.0),
+                    ax=jnp.float32(10.0), ay=jnp.float32(60.0),
+                    puck_x=jnp.float32(41.0), puck_y=jnp.float32(19.5),
+                    shot_cool=jnp.int32(0))
+    key2 = jax.random.PRNGKey(1)
+    blocked_total = 0.0
+    for t in range(30):
+        key2, sub = jax.random.split(key2)
+        s2, r = act(s2, jnp.int32(0), jnp.int32(0), jnp.int32(1), sub)
+        blocked_total += float(r)
+    assert blocked_total < 1.0, "goalie failed to block a dead-center shot"
 
 
 # ---------------------------------------------------------------------------
