@@ -304,6 +304,11 @@ class VentureCore:
     gob_y: jax.Array
     gob_dir: jax.Array
     room_done: jax.Array
+    last_room: jax.Array      # -1 = hall (venture.cc anti-camping intruder)
+    room_timer: jax.Array
+    intruder_live: jax.Array
+    ix: jax.Array
+    iy: jax.Array
     level: jax.Array
     lives: jax.Array
     score: jax.Array
@@ -338,6 +343,8 @@ def _vn_reset(key):
         shot_live=jnp.bool_(False), shot_x=jnp.float32(0.0),
         shot_y=jnp.float32(0.0), shot_vx=jnp.float32(0.0),
         shot_vy=jnp.float32(0.0), level=jnp.int32(0),
+        last_room=jnp.int32(-1), room_timer=jnp.int32(0),
+        intruder_live=jnp.bool_(False), ix=jnp.float32(0.0), iy=jnp.float32(0.0),
         lives=jnp.int32(_VN_LIVES), score=jnp.int32(0), over=jnp.bool_(False),
         **_vn_level_fields(),
     )
@@ -427,7 +434,41 @@ def _vn_act(s: VentureCore, dx, dy, fire, key):
     reward = n_grab.astype(jnp.float32) * 200.0
     score = s.score + n_grab * 200
 
-    died = stalked | gobbed
+    # Hallmonster intrusion (venture.cc round-5 anti-camping rule): linger
+    # past the dwell budget and an invincible hallmonster enters through the
+    # door, chasing until contact or until the player leaves the room.
+    rx, ry = jnp.asarray(_VN_RX), jnp.asarray(_VN_RY)
+    in_r = (
+        (px >= rx + 2.0) & (px + _VN_PW <= rx + _VN_RW - 2.0)
+        & (py >= ry + 2.0) & (py + _VN_PH <= ry + _VN_RH - 2.0)
+    )
+    cur = jnp.where(in_r.any(), jnp.argmax(in_r).astype(jnp.int32), jnp.int32(-1))
+    changed = cur != s.last_room
+    room_timer = jnp.where(changed, 0, s.room_timer)
+    intr_live = s.intruder_live & ~changed
+    inroom = cur >= 0
+    room_timer = jnp.where(inroom, room_timer + 1, room_timer)
+    limit = jnp.maximum(jnp.int32(40), 150 - 12 * s.level)
+    spawn = inroom & ~intr_live & (room_timer >= limit)
+    curc = jnp.maximum(cur, 0)
+    door_ix = jnp.where(curc % 2 == 0, rx[curc] + _VN_RW - 2.0 - _VN_HW,
+                        rx[curc] + 2.0)
+    ix = jnp.where(spawn, door_ix, s.ix)
+    iy = jnp.where(spawn, ry[curc] + _VN_RH / 2.0 - _VN_HH / 2.0, s.iy)
+    intr_live = intr_live | spawn
+    chase = intr_live & inroom
+    ispeed = hspeed + 0.2
+    ix = jnp.where(chase, ix + jnp.sign(px - ix) * ispeed, ix)
+    iy = jnp.where(chase, iy + jnp.sign(py - iy) * ispeed, iy)
+    intruded = ~stalked & ~gobbed & chase & (
+        (px + _VN_PW > ix) & (px < ix + _VN_HW)
+        & (py + _VN_PH > iy) & (py < iy + _VN_HH)
+    )
+
+    died = stalked | gobbed | intruded
+    last_room = jnp.where(died, jnp.int32(-1), cur)
+    room_timer = jnp.where(died, 0, room_timer)
+    intr_live = intr_live & ~died
     lives = s.lives - died.astype(jnp.int32)
     over = s.over | (died & (lives <= 0))
     cleared = ~died & room_done.all()
@@ -454,6 +495,8 @@ def _vn_act(s: VentureCore, dx, dy, fire, key):
         shot_x=shot_x, shot_y=shot_y, shot_vx=shot_vx, shot_vy=shot_vy,
         hm_x=hm_x, hm_y=hm_y, hm_vx=hm_vx, hm_vy=hm_vy, gob_live=gob_live,
         gob_x=gob_x, gob_y=gob_y, gob_dir=gob_dir, room_done=room_done,
+        last_room=last_room, room_timer=room_timer, intruder_live=intr_live,
+        ix=ix, iy=iy,
         level=level, lives=lives, score=score, over=over,
     )
     out = jax.tree.map(lambda n_, o_: jnp.where(live, n_, o_), out, s)
@@ -485,6 +528,8 @@ def _vn_render(s: VentureCore):
     for h in range(_VN_HALL):
         hm = _rect_mask(y, x, s.hm_x[h], s.hm_y[h], _VN_HW, _VN_HH)
         f = jnp.where(hm, jnp.uint8(180), f)
+    im = _rect_mask(y, x, s.ix, s.iy, _VN_HW, _VN_HH) & s.intruder_live
+    f = jnp.where(im, jnp.uint8(180), f)
     sm = _rect_mask(y, x, s.shot_x - 1.0, s.shot_y - 1.0, 2.0, 2.0) & s.shot_live
     f = jnp.where(sm, jnp.uint8(220), f)
     f = jnp.where(_rect_mask(y, x, s.px, s.py, _VN_PW, _VN_PH), jnp.uint8(255), f)

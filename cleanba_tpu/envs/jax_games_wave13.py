@@ -40,7 +40,8 @@ _MZ_WALK = 0.9
 _MZ_CLIMB = 0.8
 _MZ_JUMP = -2.0
 _MZ_G = 0.17
-_MZ_SMIN, _MZ_SMAX = 28.0, 52.0
+# The skull guards the key's mid platform (montezuma.cc round-5).
+_MZ_SMIN, _MZ_SMAX = 6.0, 29.0
 _MZ_SW = _MZ_SH = 5.0
 _MZ_LIVES = 3
 _MZ_TOPS = np.array([_MZ_TOP, _MZ_MID, _MZ_BOT], np.float32)
@@ -156,7 +157,7 @@ def _mz_act(s: MontezumaCore, dx, dy, fire, key):
     skull_dir = jnp.where(skull_x < _MZ_SMIN, 1.0,
                           jnp.where(skull_x > _MZ_SMAX, -1.0, s.skull_dir))
     skull_x = jnp.clip(skull_x, _MZ_SMIN, _MZ_SMAX)
-    sy = _MZ_BOT - _MZ_SH
+    sy = _MZ_MID - _MZ_SH
     skulled = (px + _MZ_PW > skull_x) & (px < skull_x + _MZ_SW) \
         & (py + _MZ_PH > sy) & (py < sy + _MZ_SH)
 
@@ -231,7 +232,7 @@ def _mz_render(s: MontezumaCore):
     f = jnp.where(d0 | d1, jnp.uint8(140), f)
     km = _rect_mask(y, x, _MZ_ML0 + 2.0, _MZ_MID - 4.0, 3.0, 3.0) & ~s.has_key
     f = jnp.where(km, jnp.uint8(220), f)
-    f = jnp.where(_rect_mask(y, x, s.skull_x, _MZ_BOT - _MZ_SH, _MZ_SW, _MZ_SH),
+    f = jnp.where(_rect_mask(y, x, s.skull_x, _MZ_MID - _MZ_SH, _MZ_SW, _MZ_SH),
                   jnp.uint8(180), f)
     f = jnp.where(_rect_mask(y, x, s.px, s.py, _MZ_PW, _MZ_PH), jnp.uint8(255), f)
     keybar = (y == 3) & (x >= 2) & (x < 5) & s.has_key

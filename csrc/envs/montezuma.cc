@@ -29,7 +29,10 @@ constexpr float kWalk = 0.9f;
 constexpr float kClimb = 0.8f;
 constexpr float kJumpV = -2.0f;
 constexpr float kGravity = 0.17f;
-constexpr float kSkullMin = 28.0f, kSkullMax = 52.0f;
+// The skull guards the key's mid platform (round-5: on the bottom floor
+// it never intersected the key/door circuit, leaving the re-arming loop
+// hazard-free).
+constexpr float kSkullMin = 6.0f, kSkullMax = 29.0f;
 constexpr float kSkullW = 5.0f, kSkullH = 5.0f;
 constexpr int kLives = 3;
 
@@ -52,9 +55,10 @@ class MontezumaGame : public Game {
     float reward = 0.0f;
     // Round-5 calibration: the re-arming key/door circuit paid a flat +800
     // forever (268k trained return / 5,648% HNS — far beyond any published
-    // agent on the hardest ALE exploration game). Each re-arm now speeds the
-    // skull, making the bottom-floor crossing progressively lethal and
-    // capping the circuit near published strong-agent scores (Agent57 9.3k).
+    // agent on the hardest ALE exploration game). The skull now guards the
+    // key platform and each re-arm speeds it, so every circuit leaps a
+    // progressively faster skull — capping scores near published
+    // strong-agent results (Agent57 9.3k).
     float skull_speed = 0.5f + 0.35f * static_cast<float>(cycles_);
 
     // Ladder logic: enter when aligned and pressing up/down.
@@ -123,11 +127,11 @@ class MontezumaGame : public Game {
       }
     }
 
-    // The skull patrols the bottom floor.
+    // The skull patrols the left mid platform, under the key.
     skull_x_ += skull_dir_ * skull_speed;
     if (skull_x_ < kSkullMin) { skull_x_ = kSkullMin; skull_dir_ = 1.0f; }
     if (skull_x_ > kSkullMax) { skull_x_ = kSkullMax; skull_dir_ = -1.0f; }
-    float sy = kBotY - kSkullH;
+    float sy = kMidY - kSkullH;
     if (px_ + kPlayerW > skull_x_ && px_ < skull_x_ + kSkullW &&
         py_ + kPlayerH > sy && py_ < sy + kSkullH) {
       reward += lose_life();
@@ -180,7 +184,7 @@ class MontezumaGame : public Game {
     if (!has_key_)
       draw_rect(f, kMidL0 + 2.0f, kMidY - 4.0f, 3.0f, 3.0f, 220);
     // Skull.
-    draw_rect(f, skull_x_, kBotY - kSkullH, kSkullW, kSkullH, 180);
+    draw_rect(f, skull_x_, kMidY - kSkullH, kSkullW, kSkullH, 180);
     draw_rect(f, px_, py_, kPlayerW, kPlayerH, 255);
     if (has_key_) for (int k = 0; k < 3; ++k) f[3 * kScreen + 2 + k] = 220;
     for (int s = 0; s < score_ / 100 && s < 40; ++s) f[1 * kScreen + 10 + s * 2] = 200;

@@ -133,6 +133,42 @@ class VentureGame : public Game {
       }
     }
 
+    // Hallmonster intrusion (the cabinet's iconic anti-camping rule,
+    // round-5 calibration): linger in a room too long and an invincible
+    // hallmonster enters through its door, chasing until contact or until
+    // the player leaves. The dwell budget shrinks with the level, so deep
+    // dungeon loops can no longer be farmed at leisure.
+    int cur = -1;
+    for (int r = 0; r < kRooms; ++r)
+      if (in_room(r, px_, py_)) { cur = r; break; }
+    if (cur != last_room_) {
+      last_room_ = cur;
+      room_timer_ = 0;
+      intruder_live_ = false;
+    }
+    if (cur >= 0) {
+      ++room_timer_;
+      int limit = 150 - 12 * level_;
+      if (limit < 40) limit = 40;
+      if (!intruder_live_ && room_timer_ >= limit) {
+        intruder_live_ = true;
+        in_x_ = (cur % 2 == 0) ? kRoomX[cur] + kRoomW - 2.0f - kHallW
+                               : kRoomX[cur] + 2.0f;
+        in_y_ = kRoomY[cur] + kRoomH / 2.0f - kHallH / 2.0f;
+      }
+      if (intruder_live_) {
+        float ispeed = hspeed + 0.2f;
+        float idx = px_ - in_x_, idy = py_ - in_y_;
+        in_x_ += (idx > 0.0f ? 1.0f : (idx < 0.0f ? -1.0f : 0.0f)) * ispeed;
+        in_y_ += (idy > 0.0f ? 1.0f : (idy < 0.0f ? -1.0f : 0.0f)) * ispeed;
+        if (px_ + kPlayerW > in_x_ && px_ < in_x_ + kHallW &&
+            py_ + kPlayerH > in_y_ && py_ < in_y_ + kHallH) {
+          reward += lose_life();
+          return reward;
+        }
+      }
+    }
+
     bool all_done = true;
     for (int r = 0; r < kRooms; ++r)
       if (!room_done_[r]) all_done = false;
@@ -164,6 +200,7 @@ class VentureGame : public Game {
     }
     for (int h = 0; h < kHallMon; ++h)
       draw_rect(f, hm_x_[h], hm_y_[h], kHallW, kHallH, 180);
+    if (intruder_live_) draw_rect(f, in_x_, in_y_, kHallW, kHallH, 180);
     if (shot_live_) draw_rect(f, shot_x_ - 1.0f, shot_y_ - 1.0f, 2.0f, 2.0f, 220);
     draw_rect(f, px_, py_, kPlayerW, kPlayerH, 255);
     for (int s = 0; s < score_ / 200 && s < 40; ++s) f[1 * kScreen + 2 + s * 2] = 200;
@@ -217,6 +254,11 @@ class VentureGame : public Game {
     return false;
   }
 
+  int last_room_ = -1;
+  int room_timer_ = 0;
+  bool intruder_live_ = false;
+  float in_x_ = 0.0f, in_y_ = 0.0f;
+
   float lose_life() {
     --lives_;
     if (lives_ <= 0) {
@@ -233,6 +275,9 @@ class VentureGame : public Game {
     face_dx_ = 0.0f;
     face_dy_ = -1.0f;
     shot_live_ = false;
+    last_room_ = -1;
+    room_timer_ = 0;
+    intruder_live_ = false;
   }
 
   void start_level() {
