@@ -27,10 +27,11 @@ sleep 3
 
 # Clear the three re-calibrated games and any partial (marker-less) seed-2
 # run dir from the interrupted job.
-for G in MontezumaRevenge-v5 IceHockey-v5 Venture-v5; do
+TS=$(date +%s)
+for G in ${INSERT_GAMES:-MontezumaRevenge-v5 IceHockey-v5 Venture-v5}; do
   mkdir -p runs/hns10m_superseded
   [ -d "runs/hns10m/hns_${G}_s1" ] && \
-    mv "runs/hns10m/hns_${G}_s1" "runs/hns10m_superseded/hns_${G}_s1_v1"
+    mv "runs/hns10m/hns_${G}_s1" "runs/hns10m_superseded/hns_${G}_s1_${TS}"
   rm -f "runs/hns10m/.done_${G}_s1"
 done
 for D in runs/hns10m/hns_*_s2; do
@@ -39,7 +40,7 @@ for D in runs/hns10m/hns_*_s2; do
   [ -e "runs/hns10m/.done_${G}_s2" ] || rm -rf "$D"
 done
 
-GAMES_OVERRIDE="MontezumaRevenge-v5 IceHockey-v5 Venture-v5" SEEDS=1 \
+GAMES_OVERRIDE="${INSERT_GAMES:-MontezumaRevenge-v5 IceHockey-v5 Venture-v5}" SEEDS=1 \
   bash scripts/run_hns_sweep.sh 10000000 runs/hns10m
 
 nohup bash scripts/round5_chip_queue.sh "$DEADLINE" > runs/queue5.log 2>&1 &
