@@ -256,7 +256,7 @@ _VN_ROOMS = 4
 _VN_RX = np.array([6.0, 48.0, 6.0, 48.0], np.float32)
 _VN_RY = np.array([6.0, 6.0, 48.0, 48.0], np.float32)
 _VN_RW, _VN_RH = 30.0, 28.0
-_VN_HALL = 2
+_VN_HALL = 4  # 2 active at level 0, +1 per level (venture.cc)
 _VN_HW = _VN_HH = 8.0
 _VN_GOB = 2
 _VN_GW = _VN_GH = 5.0
@@ -328,10 +328,10 @@ def _vn_level_fields():
         gob_x=jnp.asarray(np.array(gx, np.float32)),
         gob_y=jnp.asarray(np.array(gy, np.float32)),
         gob_dir=jnp.asarray(np.array(gd, np.float32)),
-        hm_x=jnp.asarray(np.array([38.0, 38.0], np.float32)),
-        hm_y=jnp.asarray(np.array([2.0, 74.0], np.float32)),
-        hm_vx=jnp.asarray(np.array([1.0, -1.0], np.float32)),
-        hm_vy=jnp.asarray(np.array([1.0, -1.0], np.float32)),
+        hm_x=jnp.asarray(np.array([38.0, 38.0, 2.0, 74.0], np.float32)),
+        hm_y=jnp.asarray(np.array([2.0, 74.0, 38.0, 38.0], np.float32)),
+        hm_vx=jnp.asarray(np.array([1.0, -1.0, 1.0, -1.0], np.float32)),
+        hm_vy=jnp.asarray(np.array([1.0, -1.0, -1.0, 1.0], np.float32)),
     )
 
 
@@ -392,12 +392,17 @@ def _vn_act(s: VentureCore, dx, dy, fire, key):
         | _pixel_hit(walls, shot_x, shot_y)
     )
 
-    hm_x = s.hm_x + s.hm_vx * hspeed
-    hm_y = s.hm_y + s.hm_vy * hspeed
-    hm_vx = jnp.where((hm_x < 0.0) | (hm_x + _VN_HW > 84.0), -s.hm_vx, s.hm_vx)
-    hm_vy = jnp.where((hm_y < 0.0) | (hm_y + _VN_HH > 84.0), -s.hm_vy, s.hm_vy)
+    # 2 hallmonsters at level 0, reinforcements +1 per level (venture.cc).
+    hm_active = jnp.arange(_VN_HALL) < jnp.minimum(2 + s.level, _VN_HALL)
+    hm_x = jnp.where(hm_active, s.hm_x + s.hm_vx * hspeed, s.hm_x)
+    hm_y = jnp.where(hm_active, s.hm_y + s.hm_vy * hspeed, s.hm_y)
+    hm_vx = jnp.where(hm_active & ((hm_x < 0.0) | (hm_x + _VN_HW > 84.0)),
+                      -s.hm_vx, s.hm_vx)
+    hm_vy = jnp.where(hm_active & ((hm_y < 0.0) | (hm_y + _VN_HH > 84.0)),
+                      -s.hm_vy, s.hm_vy)
     stalked = ~inside & (
-        (px + _VN_PW > hm_x) & (px < hm_x + _VN_HW)
+        hm_active
+        & (px + _VN_PW > hm_x) & (px < hm_x + _VN_HW)
         & (py + _VN_PH > hm_y) & (py < hm_y + _VN_HH)
     ).any()
 
@@ -526,7 +531,8 @@ def _vn_render(s: VentureCore):
             & s.gob_live[i] & ~s.room_done[room_of_gob[i]]
         f = jnp.where(gm, jnp.uint8(150), f)
     for h in range(_VN_HALL):
-        hm = _rect_mask(y, x, s.hm_x[h], s.hm_y[h], _VN_HW, _VN_HH)
+        hm = _rect_mask(y, x, s.hm_x[h], s.hm_y[h], _VN_HW, _VN_HH) \
+            & (h < 2 + jnp.minimum(s.level, 2))
         f = jnp.where(hm, jnp.uint8(180), f)
     im = _rect_mask(y, x, s.ix, s.iy, _VN_HW, _VN_HH) & s.intruder_live
     f = jnp.where(im, jnp.uint8(180), f)

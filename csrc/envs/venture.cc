@@ -24,7 +24,10 @@ constexpr int kRooms = 4;
 const float kRoomX[kRooms] = {6.0f, 48.0f, 6.0f, 48.0f};
 const float kRoomY[kRooms] = {6.0f, 6.0f, 48.0f, 48.0f};
 constexpr float kRoomW = 30.0f, kRoomH = 28.0f;
-constexpr int kHallMon = 2;
+// Reinforcement hallmonsters join from level 1 (round-5 calibration: the
+// dwell-budget intruder alone did not bind — a fast looter never lingers —
+// so deep levels now flood the hall instead).
+constexpr int kHallMon = 4;
 constexpr float kHallW = 8.0f, kHallH = 8.0f;
 constexpr int kGoblins = 2;  // per room
 constexpr float kGobW = 5.0f, kGobH = 5.0f;
@@ -85,8 +88,11 @@ class VentureGame : public Game {
         shot_live_ = false;
     }
 
-    // Hallmonsters: diagonal bouncers in the hall band; invincible.
-    for (int h = 0; h < kHallMon; ++h) {
+    // Hallmonsters: diagonal bouncers in the hall band; invincible. Levels
+    // add reinforcements (2 at level 0, +1 per level up to 4).
+    int active_hm = 2 + level_;
+    if (active_hm > kHallMon) active_hm = kHallMon;
+    for (int h = 0; h < active_hm; ++h) {
       hm_x_[h] += hm_vx_[h] * hspeed;
       hm_y_[h] += hm_vy_[h] * hspeed;
       if (hm_x_[h] < 0.0f || hm_x_[h] + kHallW > 84.0f) hm_vx_[h] = -hm_vx_[h];
@@ -198,7 +204,9 @@ class VentureGame : public Game {
         }
       }
     }
-    for (int h = 0; h < kHallMon; ++h)
+    int active_hm = 2 + level_;
+    if (active_hm > kHallMon) active_hm = kHallMon;
+    for (int h = 0; h < active_hm; ++h)
       draw_rect(f, hm_x_[h], hm_y_[h], kHallW, kHallH, 180);
     if (intruder_live_) draw_rect(f, in_x_, in_y_, kHallW, kHallH, 180);
     if (shot_live_) draw_rect(f, shot_x_ - 1.0f, shot_y_ - 1.0f, 2.0f, 2.0f, 220);
@@ -299,6 +307,14 @@ class VentureGame : public Game {
     hm_y_[1] = 74.0f;
     hm_vx_[1] = -1.0f;
     hm_vy_[1] = -1.0f;
+    hm_x_[2] = 2.0f;
+    hm_y_[2] = 38.0f;
+    hm_vx_[2] = 1.0f;
+    hm_vy_[2] = -1.0f;
+    hm_x_[3] = 74.0f;
+    hm_y_[3] = 38.0f;
+    hm_vx_[3] = -1.0f;
+    hm_vy_[3] = 1.0f;
   }
 
   static void draw_rect(uint8_t* f, float fx, float fy, float fw, float fh, uint8_t v) {
