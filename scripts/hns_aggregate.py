@@ -88,15 +88,24 @@ def main(argv=None) -> None:
     if skipped:
         print(f"no HNS anchors for: {skipped} (excluded from aggregate)")
 
-    returns_by_game = {g: list(by_game[g].values()) for g in games}
-    agg = aggregate_hns(returns_by_game)
+    returns_by_game = {}
 
+    # Per-game score: mean over the seeds at the game's highest budget only
+    # (a 10M seed must not dilute a 50M re-run's converged score); lower-
+    # budget seeds stay visible in the per-seed column, tagged with their
+    # budget.
     rows = []
+    used_by_game = {}
     for g in games:
         seeds = sorted(by_game[g])
-        per_seed = [by_game[g][s] for s in seeds]
-        mean_ret = float(np.mean(per_seed))
+        cap = max(steps_by_seed[g].values())
+        used = [s_ for s_ in seeds if steps_by_seed[g][s_] >= 0.5 * cap]
+        used_by_game[g] = used
+        per_seed = [by_game[g][s_] for s_ in seeds]
+        mean_ret = float(np.mean([by_game[g][s_] for s_ in used]))
         rows.append((g, seeds, per_seed, mean_ret, human_normalized_score(g, mean_ret)))
+        returns_by_game[g] = [by_game[g][s_] for s_ in used]
+    agg = aggregate_hns(returns_by_game)
 
     seed_counts = sorted({len(r[1]) for r in rows}) or [0]
     seeds_str = (str(seed_counts[0]) if len(seed_counts) == 1
@@ -129,9 +138,14 @@ def main(argv=None) -> None:
         "|---|---|---|---|---|---|",
     ]
     for g, seeds, per_seed, mean_ret, hns in rows:
-        per_seed_s = ", ".join(f"{v:.1f}" for v in per_seed)
+        used = used_by_game[g]
+        per_seed_s = ", ".join(
+            f"{v:.1f}" if s_ in used
+            else f"{v:.1f} ({steps_by_seed[g][s_] / 1e6:.0f}M)"
+            for s_, v in zip(seeds, per_seed)
+        )
         lines.append(
-            f"| {g} | {final_steps[g] / 1e6:.0f}M | {len(seeds)} | {per_seed_s} "
+            f"| {g} | {final_steps[g] / 1e6:.0f}M | {len(used)} | {per_seed_s} "
             f"| {mean_ret:.1f} | {hns*100:.1f}% |"
         )
     lines.append("")
@@ -147,8 +161,8 @@ def main(argv=None) -> None:
         "tail_frac": args.tail_frac,
         "per_game": {
             g: {"seeds": {str(s): by_game[g][s] for s in sorted(by_game[g])},
-                "mean_return": float(np.mean(list(by_game[g].values()))),
-                "hns": human_normalized_score(g, float(np.mean(list(by_game[g].values())))),
+                "mean_return": float(np.mean(returns_by_game[g])),
+                "hns": human_normalized_score(g, float(np.mean(returns_by_game[g]))),
                 "final_step": final_steps[g]}
             for g in games
         },
