@@ -73,18 +73,19 @@ CLEANBA_FRAMESKIP_UNROLL=0 TIMEOUT_MIN=45 GAMES_OVERRIDE="$LONG_GAMES" SEEDS=1 \
   stage "50M outlier re-runs" 1500 7200 \
   bash scripts/run_hns_sweep.sh 50000000 runs/hns50m
 
-# 4. Continue the Sebulba 50M curve from its latest checkpoint (the point is
-#    a real multi-chunk resumed curve, verdict r4 #4).
-stage "sebulba curve chunk" 1200 2700 \
-  bash scripts/run_sebulba_curve.sh 50000000 runs/sebulba50
-
-# 4b. Pipelined sync-PPO sweep (verdict r4 #9): 4 configs incl. the sync
-#     baseline re-measured in-session.
+# 4. Pipelined sync-PPO sweep (verdict r4 #9): 4 configs incl. the sync
+#    baseline re-measured in-session.
 stage "ppo pipeline sweep" 900 1500 \
   python scripts/perf_sweep.py --ppo-pipeline --skip-async --skip-sebulba \
   --skip-anakin --out static/perf_sweep_r5.jsonl
 
-# 5. Procgen: finish Chaser at full budget with a saved model, then broaden.
+# 5. Continue the Sebulba 50M curve from its latest checkpoint (the point is
+#    a real multi-chunk resumed curve, verdict r4 #4; at ~2k SPS a 3600s
+#    chunk adds ~7M steps, taking the curve past 10M total).
+stage "sebulba curve chunk" 1200 3600 \
+  bash scripts/run_sebulba_curve.sh 50000000 runs/sebulba50
+
+# 6. Procgen: finish Chaser at full budget with a saved model, then broaden.
 #    One-time fixups: Starpilot finished at budget in r4 but never got its
 #    marker; Chaser's r4 run was timeout-capped with no checkpoint, so it
 #    restarts clean (the old curve stays in git history).
@@ -96,7 +97,7 @@ fi
 stage "procgen training" 1200 7200 \
   bash scripts/run_procgen_train.sh 8000000 runs/procgen_train
 
-# 6. Whatever time is left: fill the full seed-2 sweep.
+# 7. Whatever time is left: fill the full seed-2 sweep.
 SEEDS=2 stage "full seed-2 fill" 600 99999 \
   bash scripts/run_hns_sweep.sh 10000000 runs/hns10m
 
